@@ -1,0 +1,325 @@
+"""Multi-scale graph hierarchies, precomputed on host as static-shape data.
+
+The reference's BSMS model re-derives its coarsening *inside every forward
+pass* with a per-graph Python loop, argsort and torch.unique
+(/root/reference/models/bsms_mgn.py:217-301) — dynamic shapes that cannot
+exist under jit. Here the hierarchy is computed ONCE per mesh at data-load
+time and padded to bucketed sizes, so the jitted forward is nothing but
+segment reductions and gathers over precomputed index arrays.
+
+Two builder modes:
+  * "stride"   — numerical parity with the in-tree reference: per graph,
+    sort nodes by x-coordinate, group each consecutive ``stride`` nodes into
+    one coarse node, coarse node/pos features = scatter_mean, coarse edges =
+    dedup of (c_row, c_col) keys with scatter_mean of edge features
+    (bsms_mgn.py:242-288, including retained self-loops).
+  * "bistride" — the canonical BSMS-GNN pooling the reference author worked
+    from (bi-stride BFS 2-coloring; see BSMS-GNN, Cao et al. 2023): BFS from
+    a min-degree seed, keep nodes on even BFS frontiers, coarse connectivity
+    = 2-hop adjacency restricted to kept nodes. Better preserves mesh
+    topology than coordinate sorting and needs no pos at all.
+
+Both produce the same static artifact (``HierarchyLevel``), so models are
+agnostic to the builder.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from aero_gnn_tpu.graph.padded import bucket_size, sort_edges_by_receiver
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class HierarchyLevel:
+    """Transition fine level s -> coarse level s+1 plus the coarse graph.
+
+    Shapes: Nf/Ef = padded fine node/edge counts, Nc/Ec = padded coarse
+    counts. Pad entries route to the last pad slot of their target so masked
+    segment ops stay exact.
+    """
+
+    # fine -> coarse transition
+    fine_to_coarse: jax.Array  # i32[Nf] coarse node id per fine node
+    edge_to_coarse: jax.Array  # i32[Ef] coarse edge id per fine edge
+
+    # coarse graph connectivity (receiver-sorted, like GraphBatch)
+    senders: jax.Array  # i32[Ec]
+    receivers: jax.Array  # i32[Ec]
+
+    # coarse masks / bookkeeping
+    node_mask: jax.Array  # f32[Nc]
+    edge_mask: jax.Array  # f32[Ec]
+    node_graph: jax.Array  # i32[Nc]
+    n_node: jax.Array  # i32[]
+    n_edge: jax.Array  # i32[]
+
+    # aggregation weights for fine->coarse transfer (WeightedEdgeConv-style;
+    # uniform-mean weights in "stride" mode)
+    node_weights: jax.Array  # f32[Nf] weight of each fine node in its coarse mean
+    edge_weights: jax.Array  # f32[Ef] weight of each fine edge in its coarse mean
+
+    @property
+    def num_coarse_nodes_pad(self) -> int:
+        return self.node_mask.shape[0]
+
+    @property
+    def num_coarse_edges_pad(self) -> int:
+        return self.edge_mask.shape[0]
+
+
+# ---------------------------------------------------------------------------
+# host-side builders (numpy)
+# ---------------------------------------------------------------------------
+
+def _assign_stride(pos: np.ndarray, node_graph: np.ndarray,
+                   stride: int) -> tuple:
+    """Reference-parity assignment: per graph, rank nodes by x then group by
+    ``rank // stride`` (bsms_mgn.py:240-252). Returns (fine_to_coarse,
+    coarse_node_graph)."""
+    n = pos.shape[0]
+    fine_to_coarse = np.empty(n, dtype=np.int64)
+    coarse_graph_ids: List[np.ndarray] = []
+    offset = 0
+    for gid in np.unique(node_graph):
+        idx = np.nonzero(node_graph == gid)[0]
+        order = np.argsort(pos[idx, 0], kind="stable")
+        ranks = np.empty(len(idx), dtype=np.int64)
+        ranks[order] = np.arange(len(idx))
+        local = ranks // stride
+        n_coarse = int(local.max()) + 1 if len(idx) else 0
+        fine_to_coarse[idx] = local + offset
+        coarse_graph_ids.append(np.full(n_coarse, gid, dtype=np.int64))
+        offset += n_coarse
+    coarse_node_graph = (np.concatenate(coarse_graph_ids)
+                         if coarse_graph_ids else np.zeros(0, np.int64))
+    return fine_to_coarse, coarse_node_graph
+
+
+def _assign_bistride(senders: np.ndarray, receivers: np.ndarray,
+                     node_graph: np.ndarray, num_nodes: int) -> tuple:
+    """Bi-stride assignment: BFS 2-coloring per graph; kept (even-frontier)
+    nodes become coarse nodes; dropped nodes attach to an adjacent kept node.
+
+    Deterministic: seeds at the min-degree lowest-index node; neighbor scans
+    in index order (CSR).
+    """
+    # CSR adjacency
+    order = np.argsort(senders, kind="stable")
+    s_sorted, r_sorted = senders[order], receivers[order]
+    indptr = np.zeros(num_nodes + 1, dtype=np.int64)
+    np.add.at(indptr, s_sorted + 1, 1)
+    indptr = np.cumsum(indptr)
+    deg = np.diff(indptr)
+
+    color = np.full(num_nodes, -1, dtype=np.int64)  # 0 = kept, 1 = dropped
+    for gid in np.unique(node_graph):
+        nodes = np.nonzero(node_graph == gid)[0]
+        unvisited = set(nodes.tolist())
+        while unvisited:
+            # min-degree, lowest-index seed in this component
+            seed = min(unvisited, key=lambda v: (deg[v], v))
+            frontier = [seed]
+            color[seed] = 0
+            unvisited.discard(seed)
+            level = 0
+            while frontier:
+                nxt = []
+                for v in frontier:
+                    for u in r_sorted[indptr[v]:indptr[v + 1]]:
+                        if color[u] == -1:
+                            color[u] = (level + 1) % 2
+                            unvisited.discard(int(u))
+                            nxt.append(int(u))
+                frontier = nxt
+                level += 1
+    kept = np.nonzero(color == 0)[0]
+    # coarse ids ordered by (graph, node index) to keep node_graph sorted
+    coarse_id_of = np.full(num_nodes, -1, dtype=np.int64)
+    kept_sorted = kept[np.lexsort((kept, node_graph[kept]))]
+    coarse_id_of[kept_sorted] = np.arange(len(kept_sorted))
+    coarse_node_graph = node_graph[kept_sorted].astype(np.int64)
+
+    fine_to_coarse = np.full(num_nodes, -1, dtype=np.int64)
+    fine_to_coarse[kept] = coarse_id_of[kept]
+    # attach dropped nodes to their first kept neighbor (index order);
+    # isolated dropped nodes (shouldn't exist on connected meshes) self-keep
+    dropped = np.nonzero(color != 0)[0]
+    for v in dropped:
+        nbrs = r_sorted[indptr[v]:indptr[v + 1]]
+        kept_nbrs = nbrs[color[nbrs] == 0]
+        if len(kept_nbrs):
+            fine_to_coarse[v] = coarse_id_of[kept_nbrs.min()]
+        else:  # degenerate: promote to its own coarse node
+            fine_to_coarse[v] = 0 if len(kept_sorted) else 0
+    return fine_to_coarse, coarse_node_graph
+
+
+def _coarse_edges(senders: np.ndarray, receivers: np.ndarray,
+                  fine_to_coarse: np.ndarray, num_coarse: int) -> tuple:
+    """Dedup (c_row, c_col) pairs — torch.unique parity (bsms_mgn.py:276-288):
+    coarse edges sorted by integer key (row-major), self-loops retained.
+    Returns (c_senders, c_receivers, edge_to_coarse_edge)."""
+    c_row = fine_to_coarse[senders]
+    c_col = fine_to_coarse[receivers]
+    keys = c_row * max(num_coarse, 1) + c_col
+    unique_keys, inverse = np.unique(keys, return_inverse=True)
+    c_senders = (unique_keys // max(num_coarse, 1)).astype(np.int64)
+    c_receivers = (unique_keys % max(num_coarse, 1)).astype(np.int64)
+    return c_senders, c_receivers, inverse
+
+
+def build_hierarchy_level(
+    *,
+    senders: np.ndarray,
+    receivers: np.ndarray,
+    node_graph: np.ndarray,
+    num_nodes: int,
+    pos: Optional[np.ndarray] = None,
+    mode: str = "stride",
+    stride: int = 2,
+    num_coarse_nodes_pad: Optional[int] = None,
+    num_coarse_edges_pad: Optional[int] = None,
+    num_fine_nodes_pad: Optional[int] = None,
+    num_fine_edges_pad: Optional[int] = None,
+    dtype=np.float32,
+) -> tuple:
+    """Build one coarsening level from REAL (unpadded) fine arrays.
+
+    Returns (HierarchyLevel, coarse_real) where coarse_real is a dict of the
+    unpadded coarse arrays {senders, receivers, node_graph, num_nodes, pos}
+    for building the next level.
+    """
+    if mode == "stride":
+        if pos is None:
+            # reference behavior without pos: keep original order
+            # (bsms_mgn.py:244-245)
+            pos = np.arange(num_nodes, dtype=np.float64)[:, None]
+        f2c, c_node_graph = _assign_stride(pos, node_graph, stride)
+    elif mode == "bistride":
+        f2c, c_node_graph = _assign_bistride(
+            senders, receivers, node_graph, num_nodes)
+    else:
+        raise ValueError(f"Unknown hierarchy mode: {mode}")
+
+    num_coarse = len(c_node_graph)
+    c_s, c_r, edge_to_ce = _coarse_edges(senders, receivers, f2c, num_coarse)
+    e_coarse = len(c_s)
+
+    # receiver-major resort of coarse edges (GraphBatch convention); the
+    # scatter_mean that builds coarse edge features is permutation-invariant.
+    perm = sort_edges_by_receiver(c_s, c_r)
+    inv_perm = np.empty_like(perm)
+    inv_perm[perm] = np.arange(len(perm))
+    c_s, c_r = c_s[perm], c_r[perm]
+    edge_to_ce = inv_perm[edge_to_ce]
+
+    # coarse pos for the next level's stride sort
+    c_pos = None
+    if pos is not None and num_coarse > 0:
+        c_pos = np.zeros((num_coarse, pos.shape[1]), dtype=np.float64)
+        cnt = np.zeros(num_coarse, dtype=np.float64)
+        np.add.at(c_pos, f2c, pos.astype(np.float64))
+        np.add.at(cnt, f2c, 1.0)
+        c_pos /= np.maximum(cnt, 1.0)[:, None]
+
+    # ---- pad to static sizes ----
+    nf_pad = num_fine_nodes_pad or bucket_size(num_nodes + 1)
+    ef_pad = num_fine_edges_pad or bucket_size(len(senders))
+    nc_pad = num_coarse_nodes_pad or bucket_size(num_coarse + 1)
+    ec_pad = num_coarse_edges_pad or bucket_size(e_coarse)
+
+    f2c_p = np.full(nf_pad, nc_pad - 1, dtype=np.int32)
+    f2c_p[:num_nodes] = f2c
+    e2c_p = np.full(ef_pad, ec_pad - 1, dtype=np.int32)
+    e2c_p[: len(edge_to_ce)] = edge_to_ce
+    cs_p = np.full(ec_pad, nc_pad - 1, dtype=np.int32)
+    cr_p = np.full(ec_pad, nc_pad - 1, dtype=np.int32)
+    cs_p[:e_coarse] = c_s
+    cr_p[:e_coarse] = c_r
+    nm = np.zeros(nc_pad, dtype=dtype)
+    nm[:num_coarse] = 1.0
+    em = np.zeros(ec_pad, dtype=dtype)
+    em[:e_coarse] = 1.0
+    ng_p = np.full(nc_pad, 0, dtype=np.int32)
+    ng_p[:num_coarse] = c_node_graph
+
+    # uniform mean weights (stride parity); bistride also uses uniform means
+    # for pooling, weighted variants can be layered on later.
+    nw = np.zeros(nf_pad, dtype=dtype)
+    nw[:num_nodes] = 1.0
+    ew = np.zeros(ef_pad, dtype=dtype)
+    ew[: len(edge_to_ce)] = 1.0
+
+    level = HierarchyLevel(
+        fine_to_coarse=jnp.asarray(f2c_p),
+        edge_to_coarse=jnp.asarray(e2c_p),
+        senders=jnp.asarray(cs_p),
+        receivers=jnp.asarray(cr_p),
+        node_mask=jnp.asarray(nm),
+        edge_mask=jnp.asarray(em),
+        node_graph=jnp.asarray(ng_p),
+        n_node=jnp.asarray(num_coarse, dtype=jnp.int32),
+        n_edge=jnp.asarray(e_coarse, dtype=jnp.int32),
+        node_weights=jnp.asarray(nw),
+        edge_weights=jnp.asarray(ew),
+    )
+    coarse_real = {
+        "senders": c_s,
+        "receivers": c_r,
+        "node_graph": c_node_graph,
+        "num_nodes": num_coarse,
+        "pos": c_pos,
+    }
+    return level, coarse_real
+
+
+def build_hierarchy(
+    *,
+    senders: np.ndarray,
+    receivers: np.ndarray,
+    node_graph: np.ndarray,
+    num_nodes: int,
+    pos: Optional[np.ndarray] = None,
+    num_scales: int,
+    mode: str = "stride",
+    stride: int = 2,
+    num_fine_nodes_pad: Optional[int] = None,
+    num_fine_edges_pad: Optional[int] = None,
+    pad_plan: Optional[List[tuple]] = None,
+) -> List[HierarchyLevel]:
+    """Build ``num_scales - 1`` coarsening levels from the REAL fine graph.
+
+    ``pad_plan`` optionally fixes [(Nc_pad, Ec_pad), ...] per level so a
+    whole dataset shares compiled shapes (see data.batching.hierarchy_pad_plan).
+    """
+    levels: List[HierarchyLevel] = []
+    cur = {
+        "senders": np.asarray(senders, dtype=np.int64),
+        "receivers": np.asarray(receivers, dtype=np.int64),
+        "node_graph": np.asarray(node_graph, dtype=np.int64),
+        "num_nodes": num_nodes,
+        "pos": None if pos is None else np.asarray(pos, dtype=np.float64),
+    }
+    nf_pad, ef_pad = num_fine_nodes_pad, num_fine_edges_pad
+    for s in range(num_scales - 1):
+        nc_pad = ec_pad = None
+        if pad_plan is not None:
+            nc_pad, ec_pad = pad_plan[s]
+        level, cur = build_hierarchy_level(
+            senders=cur["senders"], receivers=cur["receivers"],
+            node_graph=cur["node_graph"], num_nodes=cur["num_nodes"],
+            pos=cur["pos"], mode=mode, stride=stride,
+            num_fine_nodes_pad=nf_pad, num_fine_edges_pad=ef_pad,
+            num_coarse_nodes_pad=nc_pad, num_coarse_edges_pad=ec_pad,
+        )
+        levels.append(level)
+        nf_pad = level.num_coarse_nodes_pad
+        ef_pad = level.num_coarse_edges_pad
+    return levels

@@ -1,0 +1,248 @@
+"""Static-shape padded graph containers.
+
+The TPU compiles one program per shape, so all graphs are padded to bucketed
+(num_nodes, num_edges, num_graphs) sizes and carry explicit validity masks.
+Conventions (load-bearing — kernels and models rely on them):
+
+  * ``receivers`` is sorted ascending (destination-major edge order). This
+    makes edge aggregation a *segment reduction* over contiguous runs, which
+    is what the Pallas SpMM kernel and ``jax.ops.segment_sum`` both want.
+  * Pad edges point at the **last pad node** (index num_nodes_pad - 1) on both
+    endpoints and have ``edge_mask == 0``. Messages are multiplied by
+    ``edge_mask`` before aggregation, so pad edges contribute exact zeros
+    (matching torch_scatter's ``dim_size`` semantics of the reference:
+    /root/reference/models/mgnLayer.py:144-146 — missing rows are zeros).
+  * Pad nodes have ``node_mask == 0`` and ``node_graph == num_graphs_pad - 1``
+    (a dummy graph slot) so per-graph pooling stays uncontaminated.
+  * Per-graph global scalars (mach, alpha, ...) are already broadcast into
+    node features ``x`` by the data pipeline, mirroring the reference
+    (/root/reference/dataset.py:66-106).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def bucket_size(n: int, multiple: int = 128, growth: float = 1.3) -> int:
+    """Pick a padded size for ``n``: geometric buckets quantized to ``multiple``.
+
+    Keeps the number of distinct compiled shapes logarithmic in mesh size while
+    wasting at most ``growth - 1`` fraction of the work.
+    """
+    if n <= 0:
+        return multiple
+    size = multiple
+    while size < n:
+        size = _round_up(int(size * growth) + 1, multiple)
+    return size
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class GraphBatch:
+    """A (possibly batched) padded graph — a pytree of device arrays.
+
+    Shapes: N = padded node count, E = padded edge count, G = padded graph
+    count. All leading dims are static per bucket.
+    """
+
+    # --- connectivity (destination-sorted; see module docstring) ---
+    senders: jax.Array  # i32[E] source node index per edge
+    receivers: jax.Array  # i32[E] destination node index per edge, ascending
+
+    # --- features ---
+    x: jax.Array  # f[N, Dn] node features (normalized)
+    edge_attr: jax.Array  # f[E, De] edge features (normalized)
+    pos: jax.Array  # f[N, dim] node positions (raw, un-normalized)
+
+    # --- targets (optional; zeros when absent) ---
+    y: jax.Array  # f[N, Dy]
+
+    # --- masks / bookkeeping ---
+    node_mask: jax.Array  # f32[N] 1.0 for real nodes
+    edge_mask: jax.Array  # f32[E] 1.0 for real edges
+    node_graph: jax.Array  # i32[N] graph id per node (pad nodes -> G - 1)
+    graph_mask: jax.Array  # f32[G] 1.0 for real graphs
+    n_node: jax.Array  # i32[] actual number of real nodes
+    n_edge: jax.Array  # i32[] actual number of real edges
+
+    @property
+    def num_nodes_pad(self) -> int:
+        return self.x.shape[0]
+
+    @property
+    def num_edges_pad(self) -> int:
+        return self.senders.shape[0]
+
+    @property
+    def num_graphs_pad(self) -> int:
+        return self.graph_mask.shape[0]
+
+    def replace(self, **kw: Any) -> "GraphBatch":
+        return dataclasses.replace(self, **kw)
+
+
+def sort_edges_by_receiver(
+    senders: np.ndarray, receivers: np.ndarray
+) -> np.ndarray:
+    """Permutation that sorts edges destination-major (receiver, then sender).
+
+    Stable lexicographic order gives a deterministic reduction order, which the
+    bitwise-parity tests rely on.
+    """
+    return np.lexsort((senders, receivers))
+
+
+def build_graph_batch(
+    *,
+    senders: np.ndarray,
+    receivers: np.ndarray,
+    x: np.ndarray,
+    edge_attr: np.ndarray,
+    pos: np.ndarray,
+    y: Optional[np.ndarray] = None,
+    num_nodes_pad: Optional[int] = None,
+    num_edges_pad: Optional[int] = None,
+    num_graphs_pad: int = 1,
+    node_graph: Optional[np.ndarray] = None,
+    dtype: np.dtype = np.float32,
+) -> GraphBatch:
+    """Host-side construction of a single padded graph (numpy in, pytree out).
+
+    Sorts edges by receiver, pads nodes/edges to the requested (or bucketed)
+    sizes, and routes pad edges to the last pad node.
+    """
+    senders = np.asarray(senders, dtype=np.int32)
+    receivers = np.asarray(receivers, dtype=np.int32)
+    x = np.asarray(x, dtype=dtype)
+    edge_attr = np.asarray(edge_attr, dtype=dtype)
+    pos = np.asarray(pos, dtype=dtype)
+    n, e = x.shape[0], senders.shape[0]
+    if y is None:
+        y = np.zeros((n, 1), dtype=dtype)
+    y = np.asarray(y, dtype=dtype)
+
+    np_pad = num_nodes_pad if num_nodes_pad is not None else bucket_size(n + 1)
+    ep_pad = num_edges_pad if num_edges_pad is not None else bucket_size(e)
+    if np_pad <= n:
+        raise ValueError(
+            f"num_nodes_pad={np_pad} must exceed num_nodes={n} "
+            "(one pad node is reserved as the pad-edge sink)"
+        )
+    if ep_pad < e:
+        raise ValueError(f"num_edges_pad={ep_pad} < num_edges={e}")
+
+    perm = sort_edges_by_receiver(senders, receivers)
+    senders, receivers = senders[perm], receivers[perm]
+    edge_attr = edge_attr[perm]
+
+    pad_node = np_pad - 1
+    s_p = np.full(ep_pad, pad_node, dtype=np.int32)
+    r_p = np.full(ep_pad, pad_node, dtype=np.int32)
+    s_p[:e], r_p[:e] = senders, receivers
+    ea_p = np.zeros((ep_pad, edge_attr.shape[1]), dtype=dtype)
+    ea_p[:e] = edge_attr
+
+    def pad_rows(a: np.ndarray, rows: int) -> np.ndarray:
+        out = np.zeros((rows,) + a.shape[1:], dtype=dtype)
+        out[: a.shape[0]] = a
+        return out
+
+    if node_graph is None:
+        ng = np.zeros(n, dtype=np.int32)
+    else:
+        ng = np.asarray(node_graph, dtype=np.int32)
+    ng_p = np.full(np_pad, num_graphs_pad - 1, dtype=np.int32)
+    ng_p[:n] = ng
+
+    node_mask = np.zeros(np_pad, dtype=dtype)
+    node_mask[:n] = 1.0
+    edge_mask = np.zeros(ep_pad, dtype=dtype)
+    edge_mask[:e] = 1.0
+    n_real_graphs = int(ng.max()) + 1 if n else 0
+    graph_mask = np.zeros(num_graphs_pad, dtype=dtype)
+    graph_mask[:n_real_graphs] = 1.0
+
+    return GraphBatch(
+        senders=jnp.asarray(s_p),
+        receivers=jnp.asarray(r_p),
+        x=jnp.asarray(pad_rows(x, np_pad)),
+        edge_attr=jnp.asarray(ea_p),
+        pos=jnp.asarray(pad_rows(pos, np_pad)),
+        y=jnp.asarray(pad_rows(y, np_pad)),
+        node_mask=jnp.asarray(node_mask),
+        edge_mask=jnp.asarray(edge_mask),
+        node_graph=jnp.asarray(ng_p),
+        graph_mask=jnp.asarray(graph_mask),
+        n_node=jnp.asarray(n, dtype=jnp.int32),
+        n_edge=jnp.asarray(e, dtype=jnp.int32),
+    )
+
+
+def batch_graphs(
+    graphs: list,
+    *,
+    num_nodes_pad: Optional[int] = None,
+    num_edges_pad: Optional[int] = None,
+    num_graphs_pad: Optional[int] = None,
+    dtype: np.dtype = np.float32,
+) -> GraphBatch:
+    """Disjoint-union collation of host-side graphs into one ``GraphBatch``.
+
+    ``graphs`` is a list of dicts with numpy arrays: senders, receivers, x,
+    edge_attr, pos, y. Equivalent of PyG mini-batch collation
+    (/root/reference/train.py:50-51) but with static padded output shapes.
+    """
+    n_tot = sum(g["x"].shape[0] for g in graphs)
+    e_tot = sum(g["senders"].shape[0] for g in graphs)
+    g_tot = len(graphs)
+    np_pad = num_nodes_pad if num_nodes_pad is not None else bucket_size(n_tot + 1)
+    ep_pad = num_edges_pad if num_edges_pad is not None else bucket_size(e_tot)
+    gp_pad = (
+        num_graphs_pad if num_graphs_pad is not None else max(g_tot + 1, 2)
+    )
+
+    senders = np.concatenate(
+        [g["senders"] + off for g, off in zip(graphs, _offsets(graphs))]
+    )
+    receivers = np.concatenate(
+        [g["receivers"] + off for g, off in zip(graphs, _offsets(graphs))]
+    )
+    x = np.concatenate([g["x"] for g in graphs])
+    edge_attr = np.concatenate([g["edge_attr"] for g in graphs])
+    pos = np.concatenate([g["pos"] for g in graphs])
+    y = np.concatenate([g["y"] for g in graphs])
+    node_graph = np.concatenate(
+        [np.full(g["x"].shape[0], i, dtype=np.int32) for i, g in enumerate(graphs)]
+    )
+    return build_graph_batch(
+        senders=senders,
+        receivers=receivers,
+        x=x,
+        edge_attr=edge_attr,
+        pos=pos,
+        y=y,
+        num_nodes_pad=np_pad,
+        num_edges_pad=ep_pad,
+        num_graphs_pad=gp_pad,
+        node_graph=node_graph,
+        dtype=dtype,
+    )
+
+
+def _offsets(graphs: list) -> list:
+    offs, acc = [], 0
+    for g in graphs:
+        offs.append(acc)
+        acc += g["x"].shape[0]
+    return offs

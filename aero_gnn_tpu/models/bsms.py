@@ -1,0 +1,138 @@
+"""Bi-Strided multi-scale MeshGraphNet (U-Net over graph hierarchies).
+
+Re-design of /root/reference/models/bsms_mgn.py:9-306. The reference derives
+its coarsening dynamically inside forward (per-graph Python loop + argsort +
+torch.unique — bsms_mgn.py:217-301); here the hierarchy is PRECOMPUTED host
+data (graph.hierarchy.build_hierarchy) and forward is pure static-shape
+segment math:
+
+  down:   x_c = segment_mean(x_f by fine_to_coarse)       (bsms_mgn.py:265)
+          e_c = segment_mean(e_f by edge_to_coarse)       (bsms_mgn.py:283)
+  up:     x_f = x_c[fine_to_coarse] + skip_x              (bsms_mgn.py:199-200)
+          fine e / connectivity restored from the skip    (bsms_mgn.py:202-206)
+
+Layer budget parity (bsms_mgn.py:68-81): ``layers_per_scale`` MGN layers per
+down/up stage, bottleneck gets max(1, processor_size - 2*sum(down)).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from aero_gnn_tpu.graph.padded import GraphBatch
+from aero_gnn_tpu.graph.hierarchy import HierarchyLevel
+from aero_gnn_tpu.models.mgn import MGNConfig, run_processor, _sub
+from aero_gnn_tpu.nn import blocks as B
+from aero_gnn_tpu.nn import mlp as M
+from aero_gnn_tpu.ops import segment_mean
+
+
+@dataclasses.dataclass(frozen=True)
+class BSMSConfig(MGNConfig):
+    num_scales: int = 3
+    layers_per_scale: int = 2
+    stride: int = 2
+    hierarchy_mode: str = "stride"  # "stride" (reference parity) | "bistride"
+
+    @property
+    def down_counts(self) -> Sequence[int]:
+        return [self.layers_per_scale] * max(self.num_scales - 1, 0)
+
+    @property
+    def bottleneck_count(self) -> int:
+        return max(1, self.processor_size - 2 * sum(self.down_counts))
+
+    def init(self, key: jax.Array, dtype=jnp.float32):
+        kn, ke, kd, kstages = jax.random.split(key, 4)
+        node_enc = M.mlp_init(
+            kn, self.input_node_dim, self.hidden_dim_node_encoder,
+            self.hidden_dim_processor,
+            num_hidden_layers=self.num_hidden_layers_node_encoder,
+            use_layer_norm=True, dtype=dtype)
+        edge_enc = M.mlp_init(
+            ke, self.input_edge_dim, self.hidden_dim_edge_encoder,
+            self.hidden_dim_processor,
+            num_hidden_layers=self.num_hidden_layers_edge_encoder,
+            use_layer_norm=True, dtype=dtype)
+        decoder = M.mlp_init(
+            kd, self.hidden_dim_processor, self.hidden_dim_decoder,
+            self.output_node_dim,
+            num_hidden_layers=self.num_hidden_layers_decoder,
+            use_layer_norm=False, dtype=dtype)
+
+        def stack(key, count):
+            keys = jax.random.split(key, count)
+            layers = [B.mgn_layer_init(k, self.layer_cfg, dtype) for k in keys]
+            return jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
+
+        n_stages = 2 * len(self.down_counts) + 1
+        stage_keys = jax.random.split(kstages, max(n_stages, 1))
+        down = [stack(stage_keys[i], c) for i, c in enumerate(self.down_counts)]
+        bottleneck = stack(stage_keys[len(self.down_counts)],
+                           self.bottleneck_count)
+        up = [stack(stage_keys[len(self.down_counts) + 1 + i], c)
+              for i, c in enumerate(reversed(self.down_counts))]
+        return {"node_encoder": node_enc, "edge_encoder": edge_enc,
+                "down": down, "bottleneck": bottleneck, "up": up,
+                "decoder": decoder}
+
+    def apply(self, params, graph: GraphBatch, *,
+              hierarchy: Tuple[HierarchyLevel, ...],
+              rng: Optional[jax.Array] = None) -> jax.Array:
+        if len(hierarchy) != self.num_scales - 1:
+            raise ValueError(
+                f"hierarchy has {len(hierarchy)} levels, expected "
+                f"{self.num_scales - 1}")
+        x = M.mlp_apply(params["node_encoder"], graph.x,
+                        activation=self.activation, dropout=self.dropout,
+                        rng=_sub(rng, 0))
+        e = M.mlp_apply(params["edge_encoder"], graph.edge_attr,
+                        activation=self.activation, dropout=self.dropout,
+                        rng=_sub(rng, 1))
+        if self.dropout > 0.0 and rng is not None:
+            k1, k2 = jax.random.split(_sub(rng, 2))
+            x = _dropout(x, self.dropout, k1)
+            e = _dropout(e, self.dropout, k2)
+
+        senders, receivers = graph.senders, graph.receivers
+        node_mask, edge_mask = graph.node_mask, graph.edge_mask
+        skips = []
+
+        # ---- down path ----
+        for s, level in enumerate(hierarchy):
+            x, e = run_processor(params["down"][s], self.layer_cfg, x, e,
+                                 senders, receivers, edge_mask)
+            skips.append((x, e, senders, receivers, edge_mask))
+            x = segment_mean(x, level.fine_to_coarse,
+                             level.num_coarse_nodes_pad, mask=node_mask,
+                             indices_are_sorted=False)
+            e = segment_mean(e, level.edge_to_coarse,
+                             level.num_coarse_edges_pad, mask=edge_mask,
+                             indices_are_sorted=False)
+            senders, receivers = level.senders, level.receivers
+            node_mask, edge_mask = level.node_mask, level.edge_mask
+
+        # ---- bottleneck ----
+        x, e = run_processor(params["bottleneck"], self.layer_cfg, x, e,
+                             senders, receivers, edge_mask)
+
+        # ---- up path ----
+        for i in range(len(hierarchy)):
+            level = hierarchy[-(i + 1)]
+            skip_x, skip_e, senders, receivers, edge_mask = skips[-(i + 1)]
+            x = x.at[level.fine_to_coarse].get(
+                mode="promise_in_bounds") + skip_x
+            e = skip_e
+            x, e = run_processor(params["up"][i], self.layer_cfg, x, e,
+                                 senders, receivers, edge_mask)
+
+        return M.mlp_apply(params["decoder"], x, activation=self.activation)
+
+
+def _dropout(x: jax.Array, rate: float, rng: jax.Array) -> jax.Array:
+    keep = jax.random.bernoulli(rng, 1.0 - rate, x.shape)
+    return jnp.where(keep, x / (1.0 - rate), 0.0)

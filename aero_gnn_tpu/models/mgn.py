@@ -1,0 +1,122 @@
+"""MeshGraphNet: encode -> process (L residual MP layers) -> decode.
+
+Re-design of /root/reference/models/mgn.py:9-138 as a pure function over a
+parameter pytree. Node/edge encoders are LN-terminated MLPs, the decoder has
+no LN, and the processor is ``processor_size`` stacked residual MGN layers.
+
+TPU notes: the processor runs under ``lax.scan`` over stacked layer params —
+one compiled layer body regardless of depth, which keeps compile time flat
+and lets XLA pipeline HBM traffic across layers.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from aero_gnn_tpu.graph.padded import GraphBatch
+from aero_gnn_tpu.nn import mlp as M
+from aero_gnn_tpu.nn import blocks as B
+
+
+@dataclasses.dataclass(frozen=True)
+class MGNConfig:
+    input_node_dim: int
+    input_edge_dim: int
+    output_node_dim: int
+    processor_size: int = 15
+    activation: str = "relu"
+    num_hidden_layers_node_processor: int = 1
+    num_hidden_layers_edge_processor: int = 1
+    hidden_dim_processor: int = 128
+    num_hidden_layers_node_encoder: int = 1
+    hidden_dim_node_encoder: int = 128
+    num_hidden_layers_edge_encoder: int = 1
+    hidden_dim_edge_encoder: int = 128
+    aggregation: str = "add"
+    hidden_dim_decoder: int = 128
+    num_hidden_layers_decoder: int = 1
+    dropout: float = 0.0
+    do_concat_trick: bool = False
+
+    @property
+    def layer_cfg(self) -> B.MGNLayerConfig:
+        return B.MGNLayerConfig(
+            node_dim=self.hidden_dim_processor,
+            edge_dim=self.hidden_dim_processor,
+            hidden_dim=self.hidden_dim_processor,
+            num_hidden_layers_node=self.num_hidden_layers_node_processor,
+            num_hidden_layers_edge=self.num_hidden_layers_edge_processor,
+            activation=self.activation,
+            use_layer_norm=True,
+            aggregation=self.aggregation,
+            do_concat_trick=self.do_concat_trick,
+        )
+
+    # -- init -------------------------------------------------------------
+    def init(self, key: jax.Array, dtype=jnp.float32):
+        kn, ke, kp, kd = jax.random.split(key, 4)
+        node_enc = M.mlp_init(
+            kn, self.input_node_dim, self.hidden_dim_node_encoder,
+            self.hidden_dim_processor,
+            num_hidden_layers=self.num_hidden_layers_node_encoder,
+            use_layer_norm=True, dtype=dtype,
+        )
+        edge_enc = M.mlp_init(
+            ke, self.input_edge_dim, self.hidden_dim_edge_encoder,
+            self.hidden_dim_processor,
+            num_hidden_layers=self.num_hidden_layers_edge_encoder,
+            use_layer_norm=True, dtype=dtype,
+        )
+        layer_keys = jax.random.split(kp, self.processor_size)
+        layers = [B.mgn_layer_init(k, self.layer_cfg, dtype) for k in layer_keys]
+        # Stack per-layer pytrees along a leading axis for lax.scan.
+        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
+        decoder = M.mlp_init(
+            kd, self.hidden_dim_processor, self.hidden_dim_decoder,
+            self.output_node_dim,
+            num_hidden_layers=self.num_hidden_layers_decoder,
+            use_layer_norm=False, dtype=dtype,
+        )
+        return {"node_encoder": node_enc, "edge_encoder": edge_enc,
+                "layers": stacked, "decoder": decoder}
+
+    # -- apply ------------------------------------------------------------
+    def apply(self, params, graph: GraphBatch, *,
+              rng: Optional[jax.Array] = None) -> jax.Array:
+        x = M.mlp_apply(params["node_encoder"], graph.x,
+                        activation=self.activation, dropout=self.dropout,
+                        rng=_sub(rng, 0))
+        e = M.mlp_apply(params["edge_encoder"], graph.edge_attr,
+                        activation=self.activation, dropout=self.dropout,
+                        rng=_sub(rng, 1))
+        x, e = run_processor(
+            params["layers"], self.layer_cfg, x, e,
+            graph.senders, graph.receivers, graph.edge_mask,
+        )
+        return M.mlp_apply(params["decoder"], x, activation=self.activation)
+
+
+def run_processor(stacked_layers, layer_cfg: B.MGNLayerConfig,
+                  x: jax.Array, e: jax.Array,
+                  senders: jax.Array, receivers: jax.Array,
+                  edge_mask: jax.Array):
+    """Scan the residual MP layer over stacked per-layer params."""
+
+    def body(carry, layer_params):
+        x, e = carry
+        x, e = B.mgn_layer_apply(
+            layer_params, layer_cfg, x, e, senders, receivers, edge_mask)
+        return (x, e), None
+
+    (x, e), _ = jax.lax.scan(body, (x, e), stacked_layers)
+    return x, e
+
+
+def _sub(rng: Optional[jax.Array], i: int) -> Optional[jax.Array]:
+    if rng is None:
+        return None
+    return jax.random.fold_in(rng, i)

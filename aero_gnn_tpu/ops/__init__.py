@@ -1,0 +1,81 @@
+"""Kernel substrate: gather / segment ops with a switchable backend.
+
+``backend()`` returns "xla" (default) or "pallas". The Pallas backend fuses
+the message-mask-scatter path into custom TPU kernels; the XLA backend is the
+always-correct reference used by tests and CPU runs. Switch globally with
+``set_backend("pallas")`` or scoped via ``use_backend("pallas")``.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import os
+from typing import Optional
+
+import jax
+
+from aero_gnn_tpu.ops.scatter import (  # noqa: F401
+    degree,
+    gather,
+    gather_sorted,
+    graph_broadcast,
+    graph_pool,
+    segment_max,
+    segment_mean,
+    segment_sum,
+)
+
+_BACKEND = os.environ.get("AERO_GNN_OPS_BACKEND", "xla")
+
+
+def backend() -> str:
+    return _BACKEND
+
+
+def set_backend(name: str) -> None:
+    global _BACKEND
+    if name not in ("xla", "pallas"):
+        raise ValueError(f"Unknown ops backend: {name}")
+    _BACKEND = name
+
+
+@contextlib.contextmanager
+def use_backend(name: str):
+    global _BACKEND
+    prev = _BACKEND
+    set_backend(name)
+    try:
+        yield
+    finally:
+        _BACKEND = prev
+
+
+def aggregate_edges(
+    messages: jax.Array,
+    receivers: jax.Array,
+    num_nodes: int,
+    *,
+    aggregation: str,
+    edge_mask: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Aggregate edge messages to destination nodes ([E,D] -> [N,D]).
+
+    The single entry point NodeBlock uses; torch_scatter.scatter_{add,mean}
+    parity (/root/reference/models/mgnLayer.py:143-148) including the
+    ValueError on unsupported modes.
+    """
+    if aggregation == "add":
+        if _BACKEND == "pallas":
+            from aero_gnn_tpu.ops.pallas_segment import segment_sum_pallas
+
+            return segment_sum_pallas(messages, receivers, num_nodes,
+                                      mask=edge_mask)
+        return segment_sum(messages, receivers, num_nodes, mask=edge_mask)
+    if aggregation == "mean":
+        if _BACKEND == "pallas":
+            from aero_gnn_tpu.ops.pallas_segment import segment_mean_pallas
+
+            return segment_mean_pallas(messages, receivers, num_nodes,
+                                       mask=edge_mask)
+        return segment_mean(messages, receivers, num_nodes, mask=edge_mask)
+    raise ValueError(f"Unsupported aggregation method: {aggregation}")

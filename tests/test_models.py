@@ -1,0 +1,241 @@
+"""Model-zoo tests: shapes, padding invariance, semantics."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from aero_gnn_tpu.graph import padded
+from aero_gnn_tpu.graph.hierarchy import build_hierarchy
+from aero_gnn_tpu.models.mgn import MGNConfig
+from aero_gnn_tpu.models.fouriermgn import FourierMGNConfig, fourier_embedding
+from aero_gnn_tpu.models.poolmgn import PoolMGNConfig
+from aero_gnn_tpu.models.mlpnet import MLPNetConfig
+from aero_gnn_tpu.models.mgn_v2 import MGNv2Config
+from aero_gnn_tpu.models.bsms import BSMSConfig
+from aero_gnn_tpu.models.registry import build_model
+
+from np_oracle import random_graph
+
+
+def small_mesh(rng, n=30, dn=6, de=3, dy=4):
+    """Connected undirected ring + chords mesh-like graph."""
+    s = np.arange(n, dtype=np.int32)
+    r = (s + 1) % n
+    senders = np.concatenate([s, r]).astype(np.int32)
+    receivers = np.concatenate([r, s]).astype(np.int32)
+    return {
+        "senders": senders,
+        "receivers": receivers,
+        "x": rng.standard_normal((n, dn)).astype(np.float32),
+        "edge_attr": rng.standard_normal((2 * n, de)).astype(np.float32),
+        "pos": rng.standard_normal((n, 2)).astype(np.float32),
+        "y": rng.standard_normal((n, dy)).astype(np.float32),
+    }
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(7)
+
+
+DIMS = dict(input_node_dim=6, input_edge_dim=3, output_node_dim=4)
+
+
+def tiny_mgn(**kw):
+    base = dict(**DIMS, processor_size=2, hidden_dim_processor=16,
+                hidden_dim_node_encoder=16, hidden_dim_edge_encoder=16,
+                hidden_dim_decoder=16)
+    base.update(kw)
+    return base
+
+
+def test_mgn_forward_shape_and_padding_invariance(rng):
+    cfg = MGNConfig(**tiny_mgn(do_concat_trick=True))
+    params = cfg.init(jax.random.PRNGKey(0))
+    g = small_mesh(rng)
+    gb1 = padded.build_graph_batch(**g)
+    gb2 = padded.build_graph_batch(**g, num_nodes_pad=256, num_edges_pad=512)
+    out1 = cfg.apply(params, gb1)
+    out2 = cfg.apply(params, gb2)
+    assert out1.shape == (gb1.num_nodes_pad, 4)
+    # predictions on the real nodes must not depend on the padding amount
+    np.testing.assert_allclose(np.asarray(out1)[:30], np.asarray(out2)[:30],
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_mgn_concat_trick_padding_with_full_edgeblock(rng):
+    cfg = MGNConfig(**tiny_mgn(do_concat_trick=False))
+    params = cfg.init(jax.random.PRNGKey(1))
+    g = small_mesh(rng)
+    out1 = np.asarray(cfg.apply(params, padded.build_graph_batch(**g)))[:30]
+    out2 = np.asarray(cfg.apply(params, padded.build_graph_batch(
+        **g, num_nodes_pad=512, num_edges_pad=1024)))[:30]
+    np.testing.assert_allclose(out1, out2, rtol=1e-5, atol=1e-5)
+
+
+def test_fourier_embedding_matches_numpy(rng):
+    x = rng.standard_normal((9, 5)).astype(np.float32)
+    out = np.asarray(fourier_embedding(jnp.asarray(x), dims=2,
+                                       freq_start=-3, freq_length=7))
+    # manual: per node, per dim d: cos(2^i pi u) for i, then sin(...)
+    freqs = (2.0 ** np.arange(-3, 4)) * np.pi
+    expect = []
+    for d in range(2):
+        ph = x[:, d:d + 1] * freqs[None, :]
+        expect.append(np.concatenate([np.cos(ph), np.sin(ph)], axis=1))
+    expect = np.stack(expect, axis=1).reshape(9, -1)
+    np.testing.assert_allclose(out, expect, rtol=1e-5, atol=1e-5)
+    assert out.shape == (9, 2 * 7 * 2)
+
+
+def test_fouriermgn_forward(rng):
+    cfg = FourierMGNConfig(**tiny_mgn(), fourier_features_dim=2,
+                           fourier_freq_start=-3, fourier_freq_length=7)
+    params = cfg.init(jax.random.PRNGKey(2))
+    gb = padded.build_graph_batch(**small_mesh(rng))
+    out = cfg.apply(params, gb)
+    assert out.shape == (gb.num_nodes_pad, 4)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_poolmgn_batched_equals_individual(rng):
+    """Global pooling is per graph, so a batch-of-2 must reproduce the two
+    individual predictions (collation correctness)."""
+    cfg = PoolMGNConfig(**tiny_mgn(), global_dim=16)
+    params = cfg.init(jax.random.PRNGKey(3))
+    g1, g2 = small_mesh(rng), small_mesh(rng, n=20)
+    both = padded.batch_graphs([g1, g2])
+    out_b = np.asarray(cfg.apply(params, both))
+    out_1 = np.asarray(cfg.apply(params, padded.build_graph_batch(**g1)))
+    out_2 = np.asarray(cfg.apply(params, padded.build_graph_batch(**g2)))
+    np.testing.assert_allclose(out_b[:30], out_1[:30], rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(out_b[30:50], out_2[:20], rtol=1e-4, atol=1e-4)
+
+
+def test_mgn_v2_forward(rng):
+    cfg = MGNv2Config(node_input_size=6, edge_input_size=3,
+                      hidden_channels=16, out_channels=4,
+                      num_graph_conv_layers=2)
+    params = cfg.init(jax.random.PRNGKey(4))
+    gb = padded.build_graph_batch(**small_mesh(rng))
+    out = cfg.apply(params, gb)
+    assert out.shape == (gb.num_nodes_pad, 4)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_mlpnet_forward(rng):
+    cfg = MLPNetConfig(input_node_dim=6, output_node_dim=4, hidden_dim=16)
+    params = cfg.init(jax.random.PRNGKey(5))
+    gb = padded.build_graph_batch(**small_mesh(rng))
+    out = cfg.apply(params, gb)
+    assert out.shape == (gb.num_nodes_pad, 4)
+
+
+class TestHierarchy:
+    def test_stride_assignment_matches_reference_rule(self, rng):
+        # nodes sorted by x coordinate grouped in consecutive pairs
+        n = 10
+        pos = np.stack([rng.permutation(n).astype(np.float64),
+                        np.zeros(n)], axis=1)
+        s = np.arange(n - 1)
+        senders = np.concatenate([s, s + 1])
+        receivers = np.concatenate([s + 1, s])
+        levels = build_hierarchy(
+            senders=senders, receivers=receivers,
+            node_graph=np.zeros(n, np.int64), num_nodes=n, pos=pos,
+            num_scales=2, mode="stride", stride=2)
+        lvl = levels[0]
+        f2c = np.asarray(lvl.fine_to_coarse)[:n]
+        order = np.argsort(pos[:, 0])
+        # rank//2 grouping: nodes at sorted ranks (0,1)->0, (2,3)->1, ...
+        expect = np.empty(n, np.int64)
+        expect[order] = np.arange(n) // 2
+        np.testing.assert_array_equal(f2c, expect)
+        assert int(lvl.n_node) == 5
+
+    def test_coarse_edges_dedup_and_selfloops(self, rng):
+        # two fine nodes merging -> their connecting edge becomes a self-loop,
+        # duplicates collapse (torch.unique parity, bsms_mgn.py:276-288)
+        pos = np.array([[0.0, 0], [1.0, 0], [2.0, 0], [3.0, 0]])
+        senders = np.array([0, 1, 1, 2, 2, 3])
+        receivers = np.array([1, 0, 2, 1, 3, 2])
+        levels = build_hierarchy(
+            senders=senders, receivers=receivers,
+            node_graph=np.zeros(4, np.int64), num_nodes=4, pos=pos,
+            num_scales=2, mode="stride", stride=2)
+        lvl = levels[0]
+        e = int(lvl.n_edge)
+        cs = np.asarray(lvl.senders)[:e]
+        cr = np.asarray(lvl.receivers)[:e]
+        pairs = set(zip(cs.tolist(), cr.tolist()))
+        # coarse nodes: {0,1}->0, {2,3}->1; edges: (0,0) self, (0,1), (1,0),
+        # (1,1) self
+        assert pairs == {(0, 0), (0, 1), (1, 0), (1, 1)}
+
+    def test_bistride_covers_all_nodes(self, rng):
+        g = small_mesh(rng, n=24)
+        levels = build_hierarchy(
+            senders=g["senders"].astype(np.int64),
+            receivers=g["receivers"].astype(np.int64),
+            node_graph=np.zeros(24, np.int64), num_nodes=24,
+            pos=g["pos"].astype(np.float64),
+            num_scales=3, mode="bistride")
+        for lvl in levels:
+            nf = np.asarray(lvl.fine_to_coarse)
+            nc = int(lvl.n_node)
+            assert nc > 0
+            # every real fine node maps to a real coarse node
+            # (level 0 fine count = 24)
+        assert int(levels[0].n_node) < 24
+
+
+def test_bsms_forward_and_padding_invariance(rng):
+    cfg = BSMSConfig(**tiny_mgn(do_concat_trick=True), num_scales=3,
+                     layers_per_scale=1, stride=2)
+    params = cfg.init(jax.random.PRNGKey(6))
+    g = small_mesh(rng, n=32)
+    gb = padded.build_graph_batch(**g)
+    levels = tuple(build_hierarchy(
+        senders=g["senders"].astype(np.int64),
+        receivers=g["receivers"].astype(np.int64),
+        node_graph=np.zeros(32, np.int64), num_nodes=32,
+        pos=g["pos"].astype(np.float64),
+        num_scales=3, mode="stride", stride=2,
+        num_fine_nodes_pad=gb.num_nodes_pad,
+        num_fine_edges_pad=gb.num_edges_pad))
+    out = cfg.apply(params, gb, hierarchy=levels)
+    assert out.shape == (gb.num_nodes_pad, 4)
+    assert np.isfinite(np.asarray(out)).all()
+
+    # bigger padding on every level must not change real-node predictions
+    gb2 = padded.build_graph_batch(**g, num_nodes_pad=256, num_edges_pad=512)
+    levels2 = tuple(build_hierarchy(
+        senders=g["senders"].astype(np.int64),
+        receivers=g["receivers"].astype(np.int64),
+        node_graph=np.zeros(32, np.int64), num_nodes=32,
+        pos=g["pos"].astype(np.float64),
+        num_scales=3, mode="stride", stride=2,
+        num_fine_nodes_pad=256, num_fine_edges_pad=512,
+        pad_plan=[(128, 256), (128, 256)]))
+    out2 = cfg.apply(params, gb2, hierarchy=levels2)
+    np.testing.assert_allclose(np.asarray(out)[:32], np.asarray(out2)[:32],
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_registry_builds_all():
+    dims = DIMS
+    for mc in [
+        {"name": "meshgraphnet", "hidden_dim": 16, "processor_size": 2,
+         "do_concat_trick": True},
+        {"name": "mlpnet", "hidden_dim": 16},
+        {"name": "poolMGN", "hidden_dim": 16, "processor_size": 2,
+         "global_dim": 16},
+        {"name": "fouriermgn", "hidden_dim": 16, "processor_size": 2},
+        {"name": "bsms_mgn", "hidden_dim": 16, "processor_size": 2},
+        {"name": "trial1", "hidden_dim": 16,
+         "num_message_passing_layers": 2},
+    ]:
+        cfg = build_model(mc, dims)
+        params = cfg.init(jax.random.PRNGKey(0))
+        assert params is not None
