@@ -1,0 +1,138 @@
+"""Batching: MeshSample lists -> fixed-shape GraphBatch streams.
+
+The device-batch boundary of the framework (the analogue of the reference's
+PyG DataLoader collation, /root/reference/train.py:50-51) with TPU
+constraints: every batch from one loader shares a single padded shape, so
+the train step compiles exactly once.
+
+For BSMS models, per-sample hierarchies are computed once and cached, then
+collated per batch with coarse-id offsets (graph.hierarchy.collate_hierarchies).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Iterator, List, Optional, Tuple
+
+import numpy as np
+
+from aero_gnn_tpu.data.dataset import MeshSample
+from aero_gnn_tpu.graph import hierarchy as H
+from aero_gnn_tpu.graph.padded import GraphBatch, batch_graphs, bucket_size
+
+
+def sample_to_dict(s: MeshSample) -> Dict[str, np.ndarray]:
+    return {
+        "senders": s.senders.astype(np.int64),
+        "receivers": s.receivers.astype(np.int64),
+        "x": s.x,
+        "edge_attr": s.edge_attr,
+        "pos": s.pos,
+        "y": s.y,
+    }
+
+
+@dataclasses.dataclass
+class PadSpec:
+    num_nodes_pad: int
+    num_edges_pad: int
+    num_graphs_pad: int
+    hierarchy_pad_plan: Optional[List[Tuple[int, int]]] = None
+
+
+def compute_pad_spec(samples: List[MeshSample], batch_size: int,
+                     *, hierarchy_levels: Optional[List[List[dict]]] = None
+                     ) -> PadSpec:
+    """One shared padded shape for every batch of up to ``batch_size``
+    samples: bucket the worst-case sum of the largest graphs."""
+    ns = sorted((s.num_nodes for s in samples), reverse=True)
+    es = sorted((s.num_edges for s in samples), reverse=True)
+    worst_n = sum(ns[:batch_size])
+    worst_e = sum(es[:batch_size])
+    spec = PadSpec(
+        num_nodes_pad=bucket_size(worst_n + 1),
+        num_edges_pad=bucket_size(worst_e),
+        num_graphs_pad=batch_size + 1,
+    )
+    if hierarchy_levels is not None:
+        n_lvls = len(hierarchy_levels[0])
+        plan = []
+        for s_idx in range(n_lvls):
+            cns = sorted((lv[s_idx]["num_nodes"] for lv in hierarchy_levels),
+                         reverse=True)
+            ces = sorted((lv[s_idx]["num_edges"] for lv in hierarchy_levels),
+                         reverse=True)
+            plan.append((bucket_size(sum(cns[:batch_size]) + 1),
+                         bucket_size(sum(ces[:batch_size]))))
+        spec.hierarchy_pad_plan = plan
+    return spec
+
+
+class Loader:
+    """Shuffling mini-batch loader with one compiled shape.
+
+    Yields (GraphBatch, aux) where aux["hierarchy"] is a tuple of
+    HierarchyLevel when the loader was built with hierarchies.
+    """
+
+    def __init__(self, samples: List[MeshSample], batch_size: int,
+                 *, shuffle: bool = False, seed: int = 0,
+                 num_scales: Optional[int] = None,
+                 hierarchy_mode: str = "stride", stride: int = 2,
+                 pad_spec: Optional[PadSpec] = None,
+                 drop_remainder: bool = False):
+        if not samples:
+            raise ValueError("Loader needs at least one sample")
+        self.samples = samples
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_remainder = drop_remainder
+        self._epoch = 0
+
+        self._hier: Optional[List[List[dict]]] = None
+        if num_scales is not None and num_scales > 1:
+            self._hier = [
+                H.build_hierarchy_real(
+                    senders=s.senders, receivers=s.receivers,
+                    node_graph=np.zeros(s.num_nodes, np.int64),
+                    num_nodes=s.num_nodes, pos=s.pos.astype(np.float64),
+                    num_scales=num_scales, mode=hierarchy_mode, stride=stride)
+                for s in samples
+            ]
+        self.pad_spec = pad_spec or compute_pad_spec(
+            samples, batch_size, hierarchy_levels=self._hier)
+
+    def __len__(self) -> int:
+        n = len(self.samples)
+        if self.drop_remainder:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def __iter__(self) -> Iterator[Tuple[GraphBatch, dict]]:
+        order = np.arange(len(self.samples))
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self._epoch)
+            rng.shuffle(order)
+        self._epoch += 1
+        bs = self.batch_size
+        n_batches = len(self)
+        for b in range(n_batches):
+            idx = order[b * bs:(b + 1) * bs]
+            batch_samples = [self.samples[i] for i in idx]
+            gb = batch_graphs(
+                [sample_to_dict(s) for s in batch_samples],
+                num_nodes_pad=self.pad_spec.num_nodes_pad,
+                num_edges_pad=self.pad_spec.num_edges_pad,
+                num_graphs_pad=self.pad_spec.num_graphs_pad,
+            )
+            aux: dict = {"samples": batch_samples}
+            if self._hier is not None:
+                levels = H.collate_hierarchies(
+                    [self._hier[i] for i in idx],
+                    num_fine_nodes_pad=self.pad_spec.num_nodes_pad,
+                    num_fine_edges_pad=self.pad_spec.num_edges_pad,
+                    pad_plan=self.pad_spec.hierarchy_pad_plan,
+                )
+                aux["hierarchy"] = tuple(levels)
+            yield gb, aux

@@ -280,6 +280,127 @@ def build_hierarchy_level(
     return level, coarse_real
 
 
+def build_hierarchy_real(
+    *,
+    senders: np.ndarray,
+    receivers: np.ndarray,
+    node_graph: np.ndarray,
+    num_nodes: int,
+    pos: Optional[np.ndarray] = None,
+    num_scales: int,
+    mode: str = "stride",
+    stride: int = 2,
+) -> List[dict]:
+    """Unpadded per-level hierarchy arrays (for caching + batch collation).
+
+    Each level dict: {fine_to_coarse, edge_to_coarse, senders, receivers,
+    node_graph, num_nodes, num_edges, num_fine_nodes, num_fine_edges, pos}.
+    Coarse edges are receiver-sorted.
+    """
+    levels: List[dict] = []
+    cur_s = np.asarray(senders, dtype=np.int64)
+    cur_r = np.asarray(receivers, dtype=np.int64)
+    cur_ng = np.asarray(node_graph, dtype=np.int64)
+    cur_n = num_nodes
+    cur_pos = None if pos is None else np.asarray(pos, dtype=np.float64)
+    for _ in range(num_scales - 1):
+        if mode == "stride":
+            p = cur_pos
+            if p is None:
+                p = np.arange(cur_n, dtype=np.float64)[:, None]
+            f2c, c_ng = _assign_stride(p, cur_ng, stride)
+        elif mode == "bistride":
+            f2c, c_ng = _assign_bistride(cur_s, cur_r, cur_ng, cur_n)
+        else:
+            raise ValueError(f"Unknown hierarchy mode: {mode}")
+        n_coarse = len(c_ng)
+        c_s, c_r, e2c = _coarse_edges(cur_s, cur_r, f2c, n_coarse)
+        perm = sort_edges_by_receiver(c_s, c_r)
+        inv = np.empty_like(perm)
+        inv[perm] = np.arange(len(perm))
+        c_s, c_r, e2c = c_s[perm], c_r[perm], inv[e2c]
+        c_pos = None
+        if cur_pos is not None and n_coarse > 0:
+            c_pos = np.zeros((n_coarse, cur_pos.shape[1]))
+            cnt = np.zeros(n_coarse)
+            np.add.at(c_pos, f2c, cur_pos)
+            np.add.at(cnt, f2c, 1.0)
+            c_pos /= np.maximum(cnt, 1.0)[:, None]
+        levels.append({
+            "fine_to_coarse": f2c, "edge_to_coarse": e2c,
+            "senders": c_s, "receivers": c_r, "node_graph": c_ng,
+            "num_nodes": n_coarse, "num_edges": len(c_s),
+            "num_fine_nodes": cur_n, "num_fine_edges": len(cur_s),
+            "pos": c_pos,
+        })
+        cur_s, cur_r, cur_ng, cur_n, cur_pos = c_s, c_r, c_ng, n_coarse, c_pos
+    return levels
+
+
+def collate_hierarchies(
+    per_sample: List[List[dict]],
+    *,
+    num_fine_nodes_pad: int,
+    num_fine_edges_pad: int,
+    pad_plan: List[tuple],
+    dtype=np.float32,
+) -> List[HierarchyLevel]:
+    """Merge per-sample real hierarchies into batch-level padded levels.
+
+    Mirrors the reference's per-graph-then-offset semantics
+    (bsms_mgn.py:234-263): coarse ids of graph g are offset by the coarse
+    counts of graphs < g, at every level. ``pad_plan[s] = (Nc_pad, Ec_pad)``.
+    """
+    num_scales_m1 = len(per_sample[0])
+    out: List[HierarchyLevel] = []
+    nf_pad, ef_pad = num_fine_nodes_pad, num_fine_edges_pad
+    for s in range(num_scales_m1):
+        nc_pad, ec_pad = pad_plan[s]
+        f2c_p = np.full(nf_pad, nc_pad - 1, dtype=np.int32)
+        e2c_p = np.full(ef_pad, ec_pad - 1, dtype=np.int32)
+        cs_p = np.full(ec_pad, nc_pad - 1, dtype=np.int32)
+        cr_p = np.full(ec_pad, nc_pad - 1, dtype=np.int32)
+        nm = np.zeros(nc_pad, dtype=dtype)
+        em = np.zeros(ec_pad, dtype=dtype)
+        ng_p = np.zeros(nc_pad, dtype=np.int32)
+        nw = np.zeros(nf_pad, dtype=dtype)
+        ew = np.zeros(ef_pad, dtype=dtype)
+        fn_off = fe_off = cn_off = ce_off = 0
+        for gi, levels in enumerate(per_sample):
+            lvl = levels[s]
+            nf, ef = lvl["num_fine_nodes"], lvl["num_fine_edges"]
+            nc, ec = lvl["num_nodes"], lvl["num_edges"]
+            f2c_p[fn_off:fn_off + nf] = lvl["fine_to_coarse"] + cn_off
+            e2c_p[fe_off:fe_off + ef] = lvl["edge_to_coarse"] + ce_off
+            cs_p[ce_off:ce_off + ec] = lvl["senders"] + cn_off
+            cr_p[ce_off:ce_off + ec] = lvl["receivers"] + cn_off
+            nm[cn_off:cn_off + nc] = 1.0
+            em[ce_off:ce_off + ec] = 1.0
+            ng_p[cn_off:cn_off + nc] = gi
+            nw[fn_off:fn_off + nf] = 1.0
+            ew[fe_off:fe_off + ef] = 1.0
+            fn_off += nf
+            fe_off += ef
+            cn_off += nc
+            ce_off += ec
+        if cn_off >= nc_pad or ce_off > ec_pad:
+            raise ValueError(
+                f"hierarchy pad_plan level {s} too small: need "
+                f"({cn_off + 1}, {ce_off}), have ({nc_pad}, {ec_pad})")
+        out.append(HierarchyLevel(
+            fine_to_coarse=jnp.asarray(f2c_p),
+            edge_to_coarse=jnp.asarray(e2c_p),
+            senders=jnp.asarray(cs_p), receivers=jnp.asarray(cr_p),
+            node_mask=jnp.asarray(nm), edge_mask=jnp.asarray(em),
+            node_graph=jnp.asarray(ng_p),
+            n_node=jnp.asarray(cn_off, dtype=jnp.int32),
+            n_edge=jnp.asarray(ce_off, dtype=jnp.int32),
+            node_weights=jnp.asarray(nw), edge_weights=jnp.asarray(ew),
+        ))
+        nf_pad, ef_pad = nc_pad, ec_pad
+    return out
+
+
 def build_hierarchy(
     *,
     senders: np.ndarray,

@@ -1,0 +1,174 @@
+"""Inference engine: batched jitted prediction, denorm, metrics, reports.
+
+Counterpart of /root/reference/inference.py:29-473 (AeroInference). The
+prediction path is a jitted forward over the per-loader padded shape; all
+metric/report math runs on host numpy. The errors.txt contract (TEST_MEAN
+header + fixed-width per-case lines, :424-470) is preserved so downstream
+tooling can diff reports between frameworks.
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+from typing import Any, Dict, List, Optional
+
+import jax
+import numpy as np
+
+from aero_gnn_tpu.data.batching import Loader
+from aero_gnn_tpu.data.dataset import MeshSample, denormalize_predictions
+from aero_gnn_tpu.inference.aero_coeffs import (
+    airfoil_dynamic_pressure,
+    calculate_aero_coefficients_2d,
+)
+from aero_gnn_tpu.inference.metrics import (
+    compute_rrmse_percent,
+    featurewise_mae_mse,
+)
+
+
+class AeroInference:
+    def __init__(self, model_cfg, params, norm_stats: Dict[str, np.ndarray],
+                 exp_params: Dict[str, Any], *,
+                 needs_hierarchy: bool = False,
+                 num_scales: Optional[int] = None,
+                 hierarchy_mode: str = "stride", stride: int = 2):
+        self.model_cfg = model_cfg
+        self.params = params
+        self.norm_stats = norm_stats
+        self.exp_params = exp_params
+        self.needs_hierarchy = needs_hierarchy
+        self.num_scales = num_scales
+        self.hierarchy_mode = hierarchy_mode
+        self.stride = stride
+        self._predict = jax.jit(self._predict_impl)
+
+    def _predict_impl(self, params, graph, hierarchy):
+        if self.needs_hierarchy:
+            return self.model_cfg.apply(params, graph, hierarchy=hierarchy)
+        return self.model_cfg.apply(params, graph)
+
+    def predict_single(self, graph, aux, n_nodes: int):
+        """Returns (pred_phys, target_phys, pred_norm, target_norm) as numpy
+        arrays over REAL nodes (predict_single parity, inference.py:47-88)."""
+        pred_norm = np.asarray(
+            self._predict(self.params, graph, aux.get("hierarchy")))[:n_nodes]
+        target_norm = np.asarray(graph.y)[:n_nodes]
+        pred_phys = denormalize_predictions(pred_norm, self.norm_stats)
+        target_phys = denormalize_predictions(target_norm, self.norm_stats)
+        return pred_phys, target_phys, pred_norm, target_norm
+
+    def run_inference(self, test_samples: List[MeshSample],
+                      output_dir: str,
+                      *, log_fn=print,
+                      timestamp: Optional[str] = None) -> str:
+        ds_conf = self.exp_params.get("dataset", {})
+        dataset_name = ds_conf.get("name", "dataset")
+        target_features = ds_conf.get(
+            "output_features",
+            [f"feature_{i}" for i in range(test_samples[0].y.shape[1])])
+
+        stamp = timestamp or datetime.datetime.now().strftime("%d-%m_%H-%M")
+        inference_dir = os.path.join(output_dir, f"inference_results_{stamp}")
+        os.makedirs(inference_dir, exist_ok=True)
+
+        loader = Loader(test_samples, batch_size=1,
+                        num_scales=self.num_scales if self.needs_hierarchy
+                        else None,
+                        hierarchy_mode=self.hierarchy_mode, stride=self.stride)
+
+        all_case: List[dict] = []
+        cat_pp, cat_tp, cat_pn, cat_tn = [], [], [], []
+        for i, (graph, aux) in enumerate(loader):
+            sample = aux["samples"][0]
+            pp, tp, pn, tn = self.predict_single(graph, aux,
+                                                 sample.num_nodes)
+            cat_pp.append(pp), cat_tp.append(tp)
+            cat_pn.append(pn), cat_tn.append(tn)
+            rrmse = compute_rrmse_percent(pp, tp)
+
+            coeff_str = ""
+            if dataset_name in ("airfoil_2d", "synthetic_airfoil"):
+                mach = float(sample.meta.get("mach", 0.5))
+                q = airfoil_dynamic_pressure(mach)
+                kw = dict(pos=sample.pos.astype(np.float64),
+                          normals=sample.normals.astype(np.float64),
+                          senders=sample.senders, receivers=sample.receivers,
+                          reference_area=1e-2, reference_length=1.0,
+                          dynamic_pressure=q)
+                true_c = calculate_aero_coefficients_2d(
+                    pressure=tp[:, 0:1], shear_stress=tp[:, 1:3], **kw)
+                pred_c = calculate_aero_coefficients_2d(
+                    pressure=pp[:, 0:1], shear_stress=pp[:, 1:3], **kw)
+                coeff_str = (
+                    f" | CA:{pred_c['CA']:7.4f} ({true_c['CA']:7.4f}) "
+                    f"| CN:{pred_c['CN']:7.4f} ({true_c['CN']:7.4f}) "
+                    f"| Cm:{pred_c['Cm']:7.4f} ({true_c['Cm']:7.4f})")
+                log_fn(f"Error in case{i:03d}: {rrmse:7.4f}%{coeff_str}")
+
+            case = {
+                "case_id": i,
+                "rrmse_percent": rrmse,
+                "errors_physical": featurewise_mae_mse(pp, tp, target_features),
+                "errors_normalized": featurewise_mae_mse(pn, tn, target_features),
+                "coeff_str": coeff_str,
+            }
+            for key in ("airfoil", "mach", "alpha", "case_no"):
+                if key in sample.meta:
+                    case[key] = sample.meta[key]
+            all_case.append(case)
+
+        pp_all = np.concatenate(cat_pp)
+        tp_all = np.concatenate(cat_tp)
+        pn_all = np.concatenate(cat_pn)
+        tn_all = np.concatenate(cat_tn)
+        mean_phys = featurewise_mae_mse(pp_all, tp_all, target_features)
+        mean_norm = featurewise_mae_mse(pn_all, tn_all, target_features)
+
+        self._write_errors_txt(
+            os.path.join(inference_dir, "errors.txt"),
+            all_case, mean_phys, mean_norm, target_features, dataset_name)
+        log_fn(f"Inference complete! Results saved to: {inference_dir}")
+        return inference_dir
+
+    @staticmethod
+    def _write_errors_txt(path: str, all_case: List[dict],
+                          mean_phys, mean_norm, target_features,
+                          dataset_name: str) -> None:
+        """Fixed-width errors.txt (inference.py:424-470 format parity)."""
+        with open(path, "w") as f:
+            t_nmae = np.mean([mean_norm[x]["mae"] for x in target_features])
+            t_nmse = np.mean([mean_norm[x]["mse"] for x in target_features])
+            t_mae = np.mean([mean_phys[x]["mae"] for x in target_features])
+            t_mse = np.mean([mean_phys[x]["mse"] for x in target_features])
+            t_rrmse = np.mean([c["rrmse_percent"] for c in all_case])
+            f.write(f"TEST_MEAN | rrmse:{t_rrmse:6.2f} | nmae:{t_nmae:8.6f} "
+                    f"| nmse:{t_nmse:8.6f} | mae:{t_mae:7.2f} "
+                    f"| mse:{t_mse:12.2f}\n\n")
+            for c in all_case:
+                nmae = np.mean([c["errors_normalized"][x]["mae"]
+                                for x in target_features])
+                nmse = np.mean([c["errors_normalized"][x]["mse"]
+                                for x in target_features])
+                mae = np.mean([c["errors_physical"][x]["mae"]
+                               for x in target_features])
+                mse = np.mean([c["errors_physical"][x]["mse"]
+                               for x in target_features])
+                base = (f"case_{c['case_id']:03d} "
+                        f"| rrmse:{c['rrmse_percent']:6.2f} "
+                        f"| nmae:{nmae:8.6f} | nmse:{nmse:8.6f} "
+                        f"| mae:{mae:7.2f} | mse:{mse:12.2f}"
+                        f"{c.get('coeff_str', '')}")
+                if dataset_name in ("airfoil_2d", "synthetic_airfoil"):
+                    airfoil = c.get("airfoil", "N/A")
+                    mach = c.get("mach", "N/A")
+                    alpha = c.get("alpha", "N/A")
+                    if isinstance(mach, (int, float)):
+                        mach = f"{mach:.2f}"
+                    if isinstance(alpha, (int, float)):
+                        alpha = f"{alpha:.2f}"
+                    base += f" | {airfoil:8s} | {str(mach):4s} | {str(alpha):5s}"
+                elif dataset_name == "ahmed_body":
+                    base += f" | {str(c.get('case_no', 'N/A')):5s}"
+                f.write(base + "\n")
