@@ -52,6 +52,9 @@ class HierarchyLevel:
     # coarse graph connectivity (receiver-sorted, like GraphBatch)
     senders: jax.Array  # i32[Ec]
     receivers: jax.Array  # i32[Ec]
+    # sender-sorted view for sorted-transpose backward gathers
+    sender_perm: jax.Array  # i32[Ec]
+    senders_sorted: jax.Array  # i32[Ec]
 
     # coarse masks / bookkeeping
     node_mask: jax.Array  # f32[Nc]
@@ -257,11 +260,14 @@ def build_hierarchy_level(
     ew = np.zeros(ef_pad, dtype=dtype)
     ew[: len(edge_to_ce)] = 1.0
 
+    sperm = np.argsort(cs_p, kind="stable").astype(np.int32)
     level = HierarchyLevel(
         fine_to_coarse=jnp.asarray(f2c_p),
         edge_to_coarse=jnp.asarray(e2c_p),
         senders=jnp.asarray(cs_p),
         receivers=jnp.asarray(cr_p),
+        sender_perm=jnp.asarray(sperm),
+        senders_sorted=jnp.asarray(cs_p[sperm]),
         node_mask=jnp.asarray(nm),
         edge_mask=jnp.asarray(em),
         node_graph=jnp.asarray(ng_p),
@@ -387,10 +393,13 @@ def collate_hierarchies(
             raise ValueError(
                 f"hierarchy pad_plan level {s} too small: need "
                 f"({cn_off + 1}, {ce_off}), have ({nc_pad}, {ec_pad})")
+        sperm = np.argsort(cs_p, kind="stable").astype(np.int32)
         out.append(HierarchyLevel(
             fine_to_coarse=jnp.asarray(f2c_p),
             edge_to_coarse=jnp.asarray(e2c_p),
             senders=jnp.asarray(cs_p), receivers=jnp.asarray(cr_p),
+            sender_perm=jnp.asarray(sperm),
+            senders_sorted=jnp.asarray(cs_p[sperm]),
             node_mask=jnp.asarray(nm), edge_mask=jnp.asarray(em),
             node_graph=jnp.asarray(ng_p),
             n_node=jnp.asarray(cn_off, dtype=jnp.int32),

@@ -59,6 +59,10 @@ class GraphBatch:
     # --- connectivity (destination-sorted; see module docstring) ---
     senders: jax.Array  # i32[E] source node index per edge
     receivers: jax.Array  # i32[E] destination node index per edge, ascending
+    # sender-sorted view for sorted-transpose backward gathers
+    # (ops.scatter.gather_senders): perm sorts edges by sender
+    sender_perm: jax.Array  # i32[E]
+    senders_sorted: jax.Array  # i32[E] == senders[sender_perm]
 
     # --- features ---
     x: jax.Array  # f[N, Dn] node features (normalized)
@@ -173,9 +177,14 @@ def build_graph_batch(
     graph_mask = np.zeros(num_graphs_pad, dtype=dtype)
     graph_mask[:n_real_graphs] = 1.0
 
+    sender_perm = np.argsort(s_p, kind="stable").astype(np.int32)
+    senders_sorted = s_p[sender_perm]
+
     return GraphBatch(
         senders=jnp.asarray(s_p),
         receivers=jnp.asarray(r_p),
+        sender_perm=jnp.asarray(sender_perm),
+        senders_sorted=jnp.asarray(senders_sorted),
         x=jnp.asarray(pad_rows(x, np_pad)),
         edge_attr=jnp.asarray(ea_p),
         pos=jnp.asarray(pad_rows(pos, np_pad)),

@@ -100,13 +100,16 @@ class BSMSConfig(MGNConfig):
 
         senders, receivers = graph.senders, graph.receivers
         node_mask, edge_mask = graph.node_mask, graph.edge_mask
+        sperm, ssort = graph.sender_perm, graph.senders_sorted
         skips = []
 
         # ---- down path ----
         for s, level in enumerate(hierarchy):
             x, e = run_processor(params["down"][s], self.layer_cfg, x, e,
-                                 senders, receivers, edge_mask)
-            skips.append((x, e, senders, receivers, edge_mask))
+                                 senders, receivers, edge_mask,
+                                 sender_perm=sperm, senders_sorted=ssort,
+                                 remat=self.remat)
+            skips.append((x, e, senders, receivers, edge_mask, sperm, ssort))
             x = segment_mean(x, level.fine_to_coarse,
                              level.num_coarse_nodes_pad, mask=node_mask,
                              indices_are_sorted=False)
@@ -115,20 +118,26 @@ class BSMSConfig(MGNConfig):
                              indices_are_sorted=False)
             senders, receivers = level.senders, level.receivers
             node_mask, edge_mask = level.node_mask, level.edge_mask
+            sperm, ssort = level.sender_perm, level.senders_sorted
 
         # ---- bottleneck ----
         x, e = run_processor(params["bottleneck"], self.layer_cfg, x, e,
-                             senders, receivers, edge_mask)
+                             senders, receivers, edge_mask,
+                             sender_perm=sperm, senders_sorted=ssort,
+                             remat=self.remat)
 
         # ---- up path ----
         for i in range(len(hierarchy)):
             level = hierarchy[-(i + 1)]
-            skip_x, skip_e, senders, receivers, edge_mask = skips[-(i + 1)]
+            (skip_x, skip_e, senders, receivers, edge_mask,
+             sperm, ssort) = skips[-(i + 1)]
             x = x.at[level.fine_to_coarse].get(
                 mode="promise_in_bounds") + skip_x
             e = skip_e
             x, e = run_processor(params["up"][i], self.layer_cfg, x, e,
-                                 senders, receivers, edge_mask)
+                                 senders, receivers, edge_mask,
+                                 sender_perm=sperm, senders_sorted=ssort,
+                                 remat=self.remat)
 
         return M.mlp_apply(params["decoder"], x, activation=self.activation)
 

@@ -61,7 +61,9 @@ class PoolMGNConfig(MGNConfig):
                         rng=_sub(rng, 1))
         x, e = run_processor(
             params["layers"], self.layer_cfg, x, e,
-            graph.senders, graph.receivers, graph.edge_mask)
+            graph.senders, graph.receivers, graph.edge_mask,
+            sender_perm=graph.sender_perm,
+            senders_sorted=graph.senders_sorted, remat=self.remat)
         return M.mlp_apply(params["decoder"], x, activation=self.activation)
 
 

@@ -64,9 +64,11 @@ def edge_block_apply(
     params, cfg: MGNLayerConfig,
     edge_attr: jax.Array, node_attr: jax.Array,
     senders: jax.Array, receivers: jax.Array,
+    sender_perm: Optional[jax.Array] = None,
+    senders_sorted: Optional[jax.Array] = None,
 ) -> jax.Array:
-    x_src = ops.gather(node_attr, senders)
-    x_dst = ops.gather_sorted(node_attr, receivers)
+    x_src = ops.gather_senders(node_attr, senders, sender_perm, senders_sorted)
+    x_dst = ops.gather_receivers(node_attr, receivers)
     edge_input = jnp.concatenate([edge_attr, x_src, x_dst], axis=-1)
     return M.mlp_apply(params, edge_input, activation=cfg.activation)
 
@@ -99,13 +101,17 @@ def edge_block_sum_init(key: jax.Array, cfg: MGNLayerConfig, dtype=jnp.float32):
 def edge_block_sum_pre(
     params, edge_attr: jax.Array, node_attr: jax.Array,
     senders: jax.Array, receivers: jax.Array,
+    sender_perm: Optional[jax.Array] = None,
+    senders_sorted: Optional[jax.Array] = None,
 ) -> jax.Array:
     """h0 = W_e e + (W_s x)[src] + (W_d x)[dst] + b — projections on [N,h]
     before the gather so the gather moves hidden-width rows only."""
     e_proj = edge_attr @ params["w_e"]
     s_proj = node_attr @ params["w_s"]
     d_proj = node_attr @ params["w_d"] + params["b"]
-    return e_proj + ops.gather(s_proj, senders) + ops.gather_sorted(d_proj, receivers)
+    return (e_proj
+            + ops.gather_senders(s_proj, senders, sender_perm, senders_sorted)
+            + ops.gather_receivers(d_proj, receivers))
 
 
 def edge_block_sum_post(params, h0: jax.Array, cfg: MGNLayerConfig) -> jax.Array:
@@ -124,8 +130,11 @@ def edge_block_sum_apply(
     params, cfg: MGNLayerConfig,
     edge_attr: jax.Array, node_attr: jax.Array,
     senders: jax.Array, receivers: jax.Array,
+    sender_perm: Optional[jax.Array] = None,
+    senders_sorted: Optional[jax.Array] = None,
 ) -> jax.Array:
-    h0 = edge_block_sum_pre(params, edge_attr, node_attr, senders, receivers)
+    h0 = edge_block_sum_pre(params, edge_attr, node_attr, senders, receivers,
+                            sender_perm, senders_sorted)
     return edge_block_sum_post(params, h0, cfg)
 
 
@@ -142,6 +151,14 @@ def node_block_init(key: jax.Array, cfg: MGNLayerConfig, dtype=jnp.float32):
     )
 
 
+def node_block_post(params, cfg: MGNLayerConfig,
+                    node_attr: jax.Array, edge_aggr: jax.Array) -> jax.Array:
+    """Node MLP over [x, aggregated messages] (aggregation done by caller —
+    lets the spatial-parallel path substitute its own local aggregation)."""
+    node_input = jnp.concatenate([node_attr, edge_aggr], axis=-1)
+    return M.mlp_apply(params, node_input, activation=cfg.activation)
+
+
 def node_block_apply(
     params, cfg: MGNLayerConfig,
     node_attr: jax.Array, edge_attr: jax.Array,
@@ -151,8 +168,7 @@ def node_block_apply(
         edge_attr, receivers, node_attr.shape[0],
         aggregation=cfg.aggregation, edge_mask=edge_mask,
     )
-    node_input = jnp.concatenate([node_attr, edge_aggr], axis=-1)
-    return M.mlp_apply(params, node_input, activation=cfg.activation)
+    return node_block_post(params, cfg, node_attr, edge_aggr)
 
 
 # ---------------------------------------------------------------------------
@@ -173,14 +189,18 @@ def mgn_layer_apply(
     node_attr: jax.Array, edge_attr: jax.Array,
     senders: jax.Array, receivers: jax.Array,
     edge_mask: Optional[jax.Array] = None,
+    sender_perm: Optional[jax.Array] = None,
+    senders_sorted: Optional[jax.Array] = None,
 ):
     """One processor step; returns (node_attr', edge_attr')."""
     if cfg.do_concat_trick:
         delta_e = edge_block_sum_apply(
-            params["edge"], cfg, edge_attr, node_attr, senders, receivers)
+            params["edge"], cfg, edge_attr, node_attr, senders, receivers,
+            sender_perm, senders_sorted)
     else:
         delta_e = edge_block_apply(
-            params["edge"], cfg, edge_attr, node_attr, senders, receivers)
+            params["edge"], cfg, edge_attr, node_attr, senders, receivers,
+            sender_perm, senders_sorted)
     edge_attr = edge_attr + delta_e
     delta_n = node_block_apply(
         params["node"], cfg, node_attr, edge_attr, receivers, edge_mask)

@@ -17,12 +17,15 @@ import jax
 from aero_gnn_tpu.ops.scatter import (  # noqa: F401
     degree,
     gather,
+    gather_receivers,
+    gather_senders,
     gather_sorted,
     graph_broadcast,
     graph_pool,
     segment_max,
     segment_mean,
     segment_sum,
+    segment_sum_sorted,
 )
 
 _BACKEND = os.environ.get("AERO_GNN_OPS_BACKEND", "xla")
@@ -64,18 +67,18 @@ def aggregate_edges(
     parity (/root/reference/models/mgnLayer.py:143-148) including the
     ValueError on unsupported modes.
     """
-    if aggregation == "add":
-        if _BACKEND == "pallas":
-            from aero_gnn_tpu.ops.pallas_segment import segment_sum_pallas
+    if aggregation not in ("add", "mean"):
+        raise ValueError(f"Unsupported aggregation method: {aggregation}")
+    if _BACKEND == "pallas":
+        from aero_gnn_tpu.ops.pallas_segment import segment_agg_pallas
 
-            return segment_sum_pallas(messages, receivers, num_nodes,
-                                      mask=edge_mask)
-        return segment_sum(messages, receivers, num_nodes, mask=edge_mask)
+        return segment_agg_pallas(messages, receivers, num_nodes,
+                                  aggregation=aggregation, mask=edge_mask)
+    if edge_mask is not None:
+        messages = messages * edge_mask[:, None]
+    summed = segment_sum_sorted(messages, receivers, num_nodes)
     if aggregation == "mean":
-        if _BACKEND == "pallas":
-            from aero_gnn_tpu.ops.pallas_segment import segment_mean_pallas
-
-            return segment_mean_pallas(messages, receivers, num_nodes,
-                                       mask=edge_mask)
-        return segment_mean(messages, receivers, num_nodes, mask=edge_mask)
-    raise ValueError(f"Unsupported aggregation method: {aggregation}")
+        deg = degree(receivers, num_nodes, mask=edge_mask,
+                     dtype=messages.dtype)
+        summed = summed / jax.numpy.maximum(deg, 1.0)[:, None]
+    return summed

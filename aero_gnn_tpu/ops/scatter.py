@@ -20,6 +20,7 @@ destination rows are zeros). The Pallas fused versions live in
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Optional
 
 import jax
@@ -129,6 +130,105 @@ def graph_broadcast(graph_values: jax.Array, node_graph: jax.Array) -> jax.Array
     """
     return graph_values.at[node_graph].get(mode="promise_in_bounds",
                                            indices_are_sorted=True)
+
+
+# ---------------------------------------------------------------------------
+# sorted-transpose gathers (the TPU-critical path)
+#
+# XLA's automatic transpose of a gather is a scatter-add with *unsorted*
+# indices, which the TPU backend executes orders of magnitude slower than a
+# sorted segment reduction (measured ~70x on the full MGN train step).
+# These custom VJPs re-express every transpose as a SORTED segment-sum /
+# sorted gather using permutations precomputed on host (GraphBatch carries
+# them).
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _gather_senders_impl(num_nodes: int, x, senders, sender_perm,
+                         senders_sorted):
+    return x.at[senders].get(mode="promise_in_bounds")
+
+
+def _gather_senders_fwd(num_nodes, x, senders, sender_perm, senders_sorted):
+    out = x.at[senders].get(mode="promise_in_bounds")
+    return out, (senders, sender_perm, senders_sorted)
+
+
+def _gather_senders_bwd(num_nodes, res, ct):
+    senders, sender_perm, senders_sorted = res
+    ct_sorted = ct.at[sender_perm].get(mode="promise_in_bounds")
+    dx = jax.ops.segment_sum(ct_sorted, senders_sorted,
+                             num_segments=num_nodes,
+                             indices_are_sorted=True)
+    return dx, None, None, None
+
+
+_gather_senders_impl.defvjp(_gather_senders_fwd, _gather_senders_bwd)
+
+
+def gather_senders(x, senders, sender_perm=None, senders_sorted=None):
+    """``x[senders]`` whose backward is a sorted segment-sum.
+
+    ``sender_perm`` sorts edges by sender; ``senders_sorted`` = the sender
+    ids in that order. Falls back to the plain gather when absent.
+    """
+    if sender_perm is None or senders_sorted is None:
+        return gather(x, senders)
+    return _gather_senders_impl(x.shape[0], x, senders, sender_perm,
+                                senders_sorted)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _gather_receivers_impl(num_nodes: int, x, receivers):
+    return x.at[receivers].get(mode="promise_in_bounds",
+                               indices_are_sorted=True)
+
+
+def _gather_receivers_fwd(num_nodes, x, receivers):
+    return _gather_receivers_impl(num_nodes, x, receivers), (receivers,)
+
+
+def _gather_receivers_bwd(num_nodes, res, ct):
+    (receivers,) = res
+    dx = jax.ops.segment_sum(ct, receivers, num_segments=num_nodes,
+                             indices_are_sorted=True)
+    return dx, None
+
+
+_gather_receivers_impl.defvjp(_gather_receivers_fwd, _gather_receivers_bwd)
+
+
+def gather_receivers(x, receivers):
+    """``x[receivers]`` (ascending ids) with a sorted segment-sum backward."""
+    return _gather_receivers_impl(x.shape[0], x, receivers)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _segment_sum_sorted_impl(num_segments: int, data, segment_ids):
+    return jax.ops.segment_sum(data, segment_ids,
+                               num_segments=num_segments,
+                               indices_are_sorted=True)
+
+
+def _segment_sum_sorted_fwd(num_segments, data, segment_ids):
+    return _segment_sum_sorted_impl(num_segments, data, segment_ids), \
+        (segment_ids,)
+
+
+def _segment_sum_sorted_bwd(num_segments, res, ct):
+    (segment_ids,) = res
+    return ct.at[segment_ids].get(mode="promise_in_bounds",
+                                  indices_are_sorted=True), None
+
+
+_segment_sum_sorted_impl.defvjp(_segment_sum_sorted_fwd,
+                                _segment_sum_sorted_bwd)
+
+
+def segment_sum_sorted(data, segment_ids, num_segments: int):
+    """Sorted-id segment sum whose backward is a sorted gather."""
+    return _segment_sum_sorted_impl(num_segments, data, segment_ids)
 
 
 def degree(

@@ -1,0 +1,255 @@
+"""Spatial (graph) parallelism: one large mesh partitioned across devices.
+
+The graph analogue of tensor/sequence parallelism (SURVEY §2c): nodes are
+partitioned into P contiguous shards along a spatial sort order, every edge
+lives on the shard of its RECEIVER (so aggregation is shard-local), and the
+only cross-shard traffic is the sender-side feature exchange ("halo") once
+per message-passing layer.
+
+TPU-native halo exchange: with the concat-trick (EdgeBlockSum) layer the
+node tensor crossing shards is the *projected* [N_local, h] sender features
+— so the exchange is one `all_gather` of W_s·x per layer over the `graph`
+ICI axis, not the raw concat inputs. XLA overlaps the gather with the local
+e·W_e matmul. Gradients flow through the collective (reduce-scatter in the
+transpose) automatically under shard_map.
+
+Host-side partitioning (numpy): Morton-order sort for locality, uniform
+shard sizes, per-shard edge padding — all static shapes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from aero_gnn_tpu.graph.padded import sort_edges_by_receiver, _round_up
+from aero_gnn_tpu.nn import blocks as B
+from aero_gnn_tpu.nn import mlp as M
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class SpatialGraph:
+    """One mesh partitioned into P shards; all arrays lead with [P, ...].
+
+    ``senders_global`` indexes the concatenated [P * n_local] node order
+    (shard-major), i.e. directly into the all-gathered tensor.
+    """
+
+    x: jax.Array  # [P, Nl, Dn]
+    edge_attr: jax.Array  # [P, El, De]
+    senders_global: jax.Array  # i32[P, El]
+    receivers_local: jax.Array  # i32[P, El] in [0, Nl)
+    node_mask: jax.Array  # f32[P, Nl]
+    edge_mask: jax.Array  # f32[P, El]
+    y: jax.Array  # [P, Nl, Dy]
+
+    @property
+    def num_parts(self) -> int:
+        return self.x.shape[0]
+
+    @property
+    def nodes_per_part(self) -> int:
+        return self.x.shape[1]
+
+
+def _morton_order(pos: np.ndarray, bits: int = 16) -> np.ndarray:
+    """Z-order curve sort for spatial locality of shards."""
+    p = pos - pos.min(axis=0)
+    denom = np.maximum(p.max(axis=0), 1e-12)
+    q = np.minimum(((p / denom) * (2**bits - 1)).astype(np.uint64),
+                   2**bits - 1)
+    code = np.zeros(len(pos), dtype=np.uint64)
+    for b in range(bits):
+        for d in range(min(pos.shape[1], 2)):
+            code |= ((q[:, d] >> np.uint64(b)) & np.uint64(1)) << np.uint64(
+                2 * b + d)
+    return np.argsort(code, kind="stable")
+
+
+def partition_graph(
+    *,
+    senders: np.ndarray,
+    receivers: np.ndarray,
+    x: np.ndarray,
+    edge_attr: np.ndarray,
+    pos: np.ndarray,
+    y: Optional[np.ndarray],
+    num_parts: int,
+    edges_pad_multiple: int = 128,
+    dtype=np.float32,
+) -> SpatialGraph:
+    """Host-side partitioning of one REAL (unpadded) mesh into P shards."""
+    n = x.shape[0]
+    order = _morton_order(pos)
+    n_local = -(-n // num_parts)
+    # new id: shard-major layout [P * n_local]; tail slots are dummies
+    new_of_old = np.full(n, -1, dtype=np.int64)
+    for p in range(num_parts):
+        chunk = order[p * n_local:(p + 1) * n_local]
+        new_of_old[chunk] = p * n_local + np.arange(len(chunk))
+
+    s_new = new_of_old[senders]
+    r_new = new_of_old[receivers]
+    part_of_edge = r_new // n_local
+
+    # per-shard edge lists, receiver-sorted, padded to a common length
+    per_part_edges = []
+    for p in range(num_parts):
+        m = part_of_edge == p
+        s_p, r_p, ea_p = s_new[m], r_new[m], edge_attr[m]
+        perm = sort_edges_by_receiver(s_p, r_p)
+        per_part_edges.append((s_p[perm], r_p[perm] - p * n_local,
+                               ea_p[perm]))
+    el = _round_up(max(max((len(t[0]) for t in per_part_edges), default=1), 1),
+                   edges_pad_multiple)
+
+    sg = np.zeros((num_parts, el), dtype=np.int32)
+    rl = np.zeros((num_parts, el), dtype=np.int32)
+    ea = np.zeros((num_parts, el, edge_attr.shape[1]), dtype=dtype)
+    em = np.zeros((num_parts, el), dtype=dtype)
+    for p, (s_p, r_p, ea_p) in enumerate(per_part_edges):
+        k = len(s_p)
+        sg[p, :k], rl[p, :k], ea[p, :k] = s_p, r_p, ea_p
+        em[p, :k] = 1.0
+        # pad edges point at this shard's node 0 with zero mask
+    xs = np.zeros((num_parts, n_local, x.shape[1]), dtype=dtype)
+    ys = np.zeros((num_parts, n_local,
+                   y.shape[1] if y is not None else 1), dtype=dtype)
+    nm = np.zeros((num_parts, n_local), dtype=dtype)
+    for p in range(num_parts):
+        chunk = order[p * n_local:(p + 1) * n_local]
+        k = len(chunk)
+        xs[p, :k] = x[chunk]
+        if y is not None:
+            ys[p, :k] = y[chunk]
+        nm[p, :k] = 1.0
+
+    return SpatialGraph(
+        x=jnp.asarray(xs), edge_attr=jnp.asarray(ea),
+        senders_global=jnp.asarray(sg), receivers_local=jnp.asarray(rl),
+        node_mask=jnp.asarray(nm), edge_mask=jnp.asarray(em),
+        y=jnp.asarray(ys))
+
+
+# ---------------------------------------------------------------------------
+# sharded MGN forward
+# ---------------------------------------------------------------------------
+
+def _spatial_layer(layer_params, cfg: B.MGNLayerConfig, x, e,
+                   senders_global, receivers_local, edge_mask,
+                   axis: str):
+    """One MGN layer on a shard; one all_gather per layer for sender halos."""
+    n_local = x.shape[0]
+    if cfg.do_concat_trick:
+        p = layer_params["edge"]
+        e_proj = e @ p["w_e"]
+        s_proj = x @ p["w_s"]
+        d_proj = x @ p["w_d"] + p["b"]
+        all_s = jax.lax.all_gather(s_proj, axis, tiled=True)  # [P*Nl, h]
+        h0 = (e_proj + all_s.at[senders_global].get(mode="promise_in_bounds")
+              + d_proj.at[receivers_local].get(mode="promise_in_bounds"))
+        delta_e = B.edge_block_sum_post(p, h0, cfg)
+    else:
+        all_x = jax.lax.all_gather(x, axis, tiled=True)  # [P*Nl, h]
+        x_src = all_x.at[senders_global].get(mode="promise_in_bounds")
+        x_dst = x.at[receivers_local].get(mode="promise_in_bounds")
+        edge_input = jnp.concatenate([e, x_src, x_dst], axis=-1)
+        delta_e = M.mlp_apply(layer_params["edge"], edge_input,
+                              activation=cfg.activation)
+    e = e + delta_e
+
+    msgs = e * edge_mask[:, None]
+    agg = jax.ops.segment_sum(msgs, receivers_local, num_segments=n_local,
+                              indices_are_sorted=True)
+    if cfg.aggregation == "mean":
+        deg = jax.ops.segment_sum(edge_mask, receivers_local,
+                                  num_segments=n_local,
+                                  indices_are_sorted=True)
+        agg = agg / jnp.maximum(deg, 1.0)[:, None]
+    elif cfg.aggregation != "add":
+        raise ValueError(f"Unsupported aggregation method: {cfg.aggregation}")
+    x = x + B.node_block_post(layer_params["node"], cfg, x, agg)
+    return x, e
+
+
+def spatial_mgn_forward(params, cfg, sg_block: SpatialGraph,
+                        *, axis: str = "graph") -> jax.Array:
+    """Per-shard MGN forward (call inside shard_map over ``axis``).
+
+    ``sg_block`` fields are the SINGLE-shard slices (leading [P,...] axis
+    already stripped). Uses the same parameter pytree as MGNConfig.
+    """
+    x = M.mlp_apply(params["node_encoder"], sg_block.x,
+                    activation=cfg.activation)
+    e = M.mlp_apply(params["edge_encoder"], sg_block.edge_attr,
+                    activation=cfg.activation)
+    layer_cfg = cfg.layer_cfg
+
+    def body(carry, layer_params):
+        x, e = carry
+        x, e = _spatial_layer(layer_params, layer_cfg, x, e,
+                              sg_block.senders_global,
+                              sg_block.receivers_local,
+                              sg_block.edge_mask, axis)
+        return (x, e), None
+
+    if getattr(cfg, "remat", True):
+        body = jax.checkpoint(body)
+    (x, e), _ = jax.lax.scan(body, (x, e), params["layers"])
+    return M.mlp_apply(params["decoder"], x, activation=cfg.activation)
+
+
+def make_spatial_forward(model_cfg, mesh: Mesh, *, axis: str = "graph"):
+    """jitted SpatialGraph -> [P, Nl, Dy] predictions over the mesh axis."""
+
+    def per_shard(params, sg):
+        sg = jax.tree.map(lambda a: a[0], sg)
+        out = spatial_mgn_forward(params, model_cfg, sg, axis=axis)
+        return out[None]
+
+    specs = P(axis)
+    fwd = shard_map(per_shard, mesh=mesh,
+                    in_specs=(P(), specs), out_specs=specs,
+                    check_vma=False)
+    return jax.jit(fwd)
+
+
+def make_spatial_train_step(model_cfg, optimizer, mesh: Mesh,
+                            *, axis: str = "graph"):
+    """jitted spatially-parallel train step: per-shard forward, globally
+    masked MSE (psum over shards), grad psum, replicated params update."""
+    import optax
+
+    def per_shard(params, opt_state, sg):
+        sg_l = jax.tree.map(lambda a: a[0], sg)
+
+        def loss_fn(p):
+            pred = spatial_mgn_forward(p, model_cfg, sg_l, axis=axis)
+            m = sg_l.node_mask[:, None]
+            se = jnp.sum(jnp.square(pred - sg_l.y) * m)
+            cnt = jnp.sum(m) * sg_l.y.shape[-1]
+            se = jax.lax.psum(se, axis)
+            cnt = jax.lax.psum(cnt, axis)
+            return se / cnt
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        # loss is already global (psum'd): per-shard grads hold only the
+        # local contributions, so the all-reduce must be a SUM
+        grads = jax.lax.psum(grads, axis)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    step = shard_map(per_shard, mesh=mesh,
+                     in_specs=(P(), P(), P(axis)),
+                     out_specs=(P(), P(), P()),
+                     check_vma=False)
+    return jax.jit(step, donate_argnums=(0, 1))

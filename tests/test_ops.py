@@ -132,3 +132,86 @@ class TestGraphBatch:
         s = np.asarray(gb.senders)[em]
         r = np.asarray(gb.receivers)[em]
         assert s.max() < 30 and r.max() < 30
+
+
+class TestSortedTransposeVJPs:
+    """Custom-VJP gathers/segment-sums must match naive autodiff exactly."""
+
+    def test_gather_senders_grad(self, rng):
+        n, e, d = 40, 160, 8
+        senders = rng.integers(0, n, size=e).astype(np.int32)
+        perm = np.argsort(senders, kind="stable").astype(np.int32)
+        ss = senders[perm]
+        x = jnp.asarray(rng.standard_normal((n, d)).astype(np.float32))
+        w = jnp.asarray(rng.standard_normal((e, d)).astype(np.float32))
+
+        def f_custom(x):
+            out = ops.gather_senders(x, jnp.asarray(senders),
+                                     jnp.asarray(perm), jnp.asarray(ss))
+            return jnp.sum(out * w)
+
+        def f_naive(x):
+            return jnp.sum(x[jnp.asarray(senders)] * w)
+
+        g1 = jax.grad(f_custom)(x)
+        g2 = jax.grad(f_naive)(x)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_gather_receivers_grad(self, rng):
+        n, e, d = 30, 100, 4
+        recv = np.sort(rng.integers(0, n, size=e)).astype(np.int32)
+        x = jnp.asarray(rng.standard_normal((n, d)).astype(np.float32))
+        w = jnp.asarray(rng.standard_normal((e, d)).astype(np.float32))
+        g1 = jax.grad(lambda x: jnp.sum(
+            ops.gather_receivers(x, jnp.asarray(recv)) * w))(x)
+        g2 = jax.grad(lambda x: jnp.sum(x[jnp.asarray(recv)] * w))(x)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_segment_sum_sorted_grad(self, rng):
+        n, e, d = 30, 100, 4
+        recv = np.sort(rng.integers(0, n, size=e)).astype(np.int32)
+        data = jnp.asarray(rng.standard_normal((e, d)).astype(np.float32))
+        w = jnp.asarray(rng.standard_normal((n, d)).astype(np.float32))
+        g1 = jax.grad(lambda a: jnp.sum(
+            ops.segment_sum_sorted(a, jnp.asarray(recv), n) * w))(data)
+        g2 = jax.grad(lambda a: jnp.sum(jax.ops.segment_sum(
+            a, jnp.asarray(recv), num_segments=n) * w))(data)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_mgn_train_grads_finite_and_match_plain_backend(self, rng):
+        """End-to-end: grads through the full MGN with custom VJPs equal the
+        grads with the naive indexing formulation."""
+        from aero_gnn_tpu.models.mgn import MGNConfig
+        from np_oracle import random_graph
+        from aero_gnn_tpu.graph import padded as P
+
+        cfg = MGNConfig(input_node_dim=6, input_edge_dim=3,
+                        output_node_dim=4, processor_size=2,
+                        hidden_dim_processor=16, hidden_dim_node_encoder=16,
+                        hidden_dim_edge_encoder=16, hidden_dim_decoder=16,
+                        do_concat_trick=True)
+        params = cfg.init(jax.random.PRNGKey(0))
+        g = random_graph(rng, n=30, e=120, dn=6, de=3)
+        gb = P.build_graph_batch(**g)
+
+        def loss(p):
+            pred = cfg.apply(p, gb)
+            return jnp.sum(jnp.square(pred) * gb.node_mask[:, None])
+
+        grads = jax.grad(loss)(params)
+        # naive formulation: strip the sorted layout so fallback gathers run
+        import dataclasses as _dc
+        gb_naive = _dc.replace(gb, sender_perm=None, senders_sorted=None)
+
+        def loss_naive(p):
+            pred = cfg.apply(p, gb_naive)
+            return jnp.sum(jnp.square(pred) * gb.node_mask[:, None])
+
+        grads_naive = jax.grad(loss_naive)(params)
+        for a, b in zip(jax.tree.leaves(grads), jax.tree.leaves(grads_naive)):
+            assert np.isfinite(np.asarray(a)).all()
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-4, atol=1e-5)

@@ -1,0 +1,155 @@
+"""Distributed tests on the 8-virtual-device CPU mesh.
+
+The JAX standard trick (SURVEY §4): xla_force_host_platform_device_count=8
+(set in conftest) + shard_map, asserting partitioned execution reproduces
+the single-device result.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from aero_gnn_tpu.data.batching import Loader
+from aero_gnn_tpu.data import dataset as D
+from aero_gnn_tpu.data.synthetic import make_airfoil_dataset, make_random_mesh_sample
+from aero_gnn_tpu.graph import padded
+from aero_gnn_tpu.models.mgn import MGNConfig
+from aero_gnn_tpu.parallel import data_parallel as DP
+from aero_gnn_tpu.parallel import spatial as SP
+from aero_gnn_tpu.parallel.mesh import make_mesh
+from aero_gnn_tpu.training.loop import make_optimizer, masked_mse
+
+
+pytestmark = pytest.mark.skipif(
+    jax.device_count() < 8, reason="needs 8 virtual devices")
+
+
+TINY = dict(input_node_dim=6, input_edge_dim=3, output_node_dim=4,
+            processor_size=2, hidden_dim_processor=16,
+            hidden_dim_node_encoder=16, hidden_dim_edge_encoder=16,
+            hidden_dim_decoder=16)
+
+
+def _samples(n_cases=8):
+    samples = make_airfoil_dataset(n_cases=n_cases, n_points=64, seed=0)
+    D.compute_features(samples, ["mach", "alpha"])
+    return samples
+
+
+class TestDataParallel:
+    def test_dp_step_matches_single_device_math(self):
+        cfg = MGNConfig(**TINY, do_concat_trick=True)
+        params = cfg.init(jax.random.PRNGKey(0))
+        opt = make_optimizer(1e-3)
+        opt_state = opt.init(params)
+        mesh = make_mesh(data=8, graph=1)
+
+        samples = _samples(8)
+        loader = Loader(samples, batch_size=1)
+        batches = [gb for gb, _ in loader]
+        stacked = DP.stack_batches(batches)
+
+        # reference first: the DP step donates (and deletes) params
+        ref_losses = [
+            float(masked_mse(cfg.apply(params, gb), gb.y, gb.node_mask))
+            for gb in batches]
+        params_before = jax.tree.map(np.asarray, params)
+
+        step = DP.make_dp_train_step(cfg, opt, mesh)
+        rng = jax.random.PRNGKey(1)
+        p2, o2, loss = step(params, opt_state, stacked, None, rng)
+        params = params_before
+        np.testing.assert_allclose(float(loss), np.mean(ref_losses),
+                                   rtol=1e-5, atol=1e-6)
+        # params actually moved
+        delta = jax.tree.reduce(
+            lambda a, b: a + b,
+            jax.tree.map(lambda a, b: float(jnp.abs(a - b).sum()),
+                         params, p2))
+        assert delta > 0
+
+    def test_dp_grads_equal_full_batch_grads(self):
+        """pmean of per-device grads == grad of the mean loss (gradient
+        correctness of the collective)."""
+        cfg = MGNConfig(**TINY, do_concat_trick=False)
+        params = cfg.init(jax.random.PRNGKey(2))
+        samples = _samples(8)
+        loader = Loader(samples, batch_size=1)
+        batches = [gb for gb, _ in loader]
+
+        def full_loss(p):
+            losses = [masked_mse(cfg.apply(p, gb), gb.y, gb.node_mask)
+                      for gb in batches]
+            return jnp.mean(jnp.stack(losses))
+
+        g_ref = jax.grad(full_loss)(params)
+
+        mesh = make_mesh(data=8, graph=1)
+        from jax.sharding import PartitionSpec as P
+        from jax import shard_map
+
+        def per_dev(p, g):
+            g = jax.tree.map(lambda x: x[0], g)
+            grads = jax.grad(
+                lambda q: masked_mse(cfg.apply(q, g), g.y, g.node_mask))(p)
+            return jax.lax.pmean(grads, "data")
+
+        g_dp = jax.jit(shard_map(
+            per_dev, mesh=mesh, in_specs=(P(), P("data")), out_specs=P(),
+            check_vma=False))(params, DP.stack_batches(batches))
+        flat_ref = jax.tree.leaves(g_ref)
+        flat_dp = jax.tree.leaves(g_dp)
+        for a, b in zip(flat_ref, flat_dp):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-4, atol=1e-6)
+
+
+class TestSpatial:
+    @pytest.mark.parametrize("concat_trick", [True, False])
+    def test_partitioned_forward_equals_single_device(self, concat_trick):
+        cfg = MGNConfig(**TINY, do_concat_trick=concat_trick)
+        params = cfg.init(jax.random.PRNGKey(3))
+        s = make_random_mesh_sample(n_nodes=300, seed=1)
+        D.compute_features([s], ["mach", "alpha"])
+
+        # single-device reference
+        gb = padded.build_graph_batch(
+            senders=s.senders, receivers=s.receivers, x=s.x,
+            edge_attr=s.edge_attr, pos=s.pos, y=s.y)
+        ref = np.asarray(cfg.apply(params, gb))[:s.num_nodes]
+
+        # 8-way spatial partition
+        mesh = make_mesh(data=1, graph=8)
+        sg = SP.partition_graph(
+            senders=s.senders, receivers=s.receivers, x=s.x,
+            edge_attr=s.edge_attr, pos=s.pos, y=s.y, num_parts=8)
+        fwd = SP.make_spatial_forward(cfg, mesh)
+        out = np.asarray(fwd(params, sg))  # [P, Nl, Dy]
+
+        # un-permute: recompute the partition order to map back
+        order = SP._morton_order(s.pos)
+        n_local = sg.nodes_per_part
+        got = np.zeros_like(ref)
+        for p in range(8):
+            chunk = order[p * n_local:(p + 1) * n_local]
+            got[chunk] = out[p, :len(chunk)]
+        np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+    def test_spatial_train_step_decreases_loss(self):
+        cfg = MGNConfig(**TINY, do_concat_trick=True)
+        params = cfg.init(jax.random.PRNGKey(4))
+        opt = make_optimizer(1e-3)
+        opt_state = opt.init(params)
+        s = make_random_mesh_sample(n_nodes=256, seed=2)
+        D.compute_features([s], ["mach", "alpha"])
+        mesh = make_mesh(data=1, graph=8)
+        sg = SP.partition_graph(
+            senders=s.senders, receivers=s.receivers, x=s.x,
+            edge_attr=s.edge_attr, pos=s.pos, y=s.y, num_parts=8)
+        step = SP.make_spatial_train_step(cfg, opt, mesh)
+        losses = []
+        for _ in range(10):
+            params, opt_state, loss = step(params, opt_state, sg)
+            losses.append(float(loss))
+        assert losses[-1] < losses[0]
