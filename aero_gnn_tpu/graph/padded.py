@@ -33,6 +33,14 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+# Pallas aggregation-kernel tiling (ops.pallas_segment): nodes are grouped
+# in ALIGN_NODE_BLOCK-row output blocks, each block's edges padded to whole
+# ALIGN_EDGE_TILE-row tiles. Large blocks amortize the per-grid-step
+# overhead; the one-hot matmul FLOPs they add ride the idle MXU.
+ALIGN_NODE_BLOCK = 512
+ALIGN_EDGE_TILE = 512
+
+
 def bucket_size(n: int, multiple: int = 128, growth: float = 1.3) -> int:
     """Pick a padded size for ``n``: geometric buckets quantized to ``multiple``.
 
@@ -80,6 +88,13 @@ class GraphBatch:
     n_node: jax.Array  # i32[] actual number of real nodes
     n_edge: jax.Array  # i32[] actual number of real edges
 
+    # Pallas aggregation layout (present when built with align_edges=True):
+    # edges are additionally padded so each 128-node block's edge range is a
+    # whole number of 128-edge tiles; tile_block[t] = node block of tile t,
+    # tile_first[t] = 1 iff t is its block's first tile (accumulator reset).
+    tile_block: Optional[jax.Array] = None  # i32[T]
+    tile_first: Optional[jax.Array] = None  # i32[T]
+
     @property
     def num_nodes_pad(self) -> int:
         return self.x.shape[0]
@@ -119,12 +134,16 @@ def build_graph_batch(
     num_edges_pad: Optional[int] = None,
     num_graphs_pad: int = 1,
     node_graph: Optional[np.ndarray] = None,
+    align_edges: bool = False,
     dtype: np.dtype = np.float32,
 ) -> GraphBatch:
     """Host-side construction of a single padded graph (numpy in, pytree out).
 
     Sorts edges by receiver, pads nodes/edges to the requested (or bucketed)
-    sizes, and routes pad edges to the last pad node.
+    sizes, and routes pad edges to the last pad node. With
+    ``align_edges=True`` the edge stream is additionally padded so every
+    128-node block's edges fill whole 128-edge tiles (the layout the Pallas
+    aggregation kernel consumes); receivers stay ascending.
     """
     senders = np.asarray(senders, dtype=np.int32)
     receivers = np.asarray(receivers, dtype=np.int32)
@@ -136,8 +155,14 @@ def build_graph_batch(
         y = np.zeros((n, 1), dtype=dtype)
     y = np.asarray(y, dtype=dtype)
 
-    np_pad = num_nodes_pad if num_nodes_pad is not None else bucket_size(n + 1)
+    node_multiple = ALIGN_NODE_BLOCK if align_edges else 128
+    np_pad = (num_nodes_pad if num_nodes_pad is not None
+              else bucket_size(n + 1, multiple=node_multiple))
     ep_pad = num_edges_pad if num_edges_pad is not None else bucket_size(e)
+    if align_edges and np_pad % ALIGN_NODE_BLOCK:
+        raise ValueError(
+            f"align_edges requires num_nodes_pad ({np_pad}) to be a "
+            f"multiple of {ALIGN_NODE_BLOCK}")
     if np_pad <= n:
         raise ValueError(
             f"num_nodes_pad={np_pad} must exceed num_nodes={n} "
@@ -150,12 +175,37 @@ def build_graph_batch(
     senders, receivers = senders[perm], receivers[perm]
     edge_attr = edge_attr[perm]
 
+    tile_block = tile_first = None
+    edge_valid = np.ones(e, dtype=bool)
+    if align_edges:
+        senders, receivers, edge_attr, edge_valid, tile_block, tile_first = \
+            _align_edge_blocks(senders, receivers, edge_attr, np_pad, dtype)
+        e_aligned = senders.shape[0]
+        if num_edges_pad is None:
+            ep_pad = bucket_size(e_aligned, multiple=ALIGN_EDGE_TILE)
+        if ep_pad < e_aligned or ep_pad % ALIGN_EDGE_TILE:
+            raise ValueError(
+                f"num_edges_pad={ep_pad} incompatible with aligned edge "
+                f"count {e_aligned} (tile {ALIGN_EDGE_TILE})")
+        # pad tail forms whole tiles assigned to the last node block
+        n_tiles = ep_pad // ALIGN_EDGE_TILE
+        last_block = np_pad // ALIGN_NODE_BLOCK - 1
+        tb = np.full(n_tiles, last_block, dtype=np.int32)
+        tf = np.zeros(n_tiles, dtype=np.int32)
+        tb[: len(tile_block)] = tile_block
+        tf[: len(tile_first)] = tile_first
+        if len(tile_block) < n_tiles and (
+                len(tile_block) == 0 or tile_block[-1] != last_block):
+            tf[len(tile_block)] = 1
+        tile_block, tile_first = tb, tf
+
     pad_node = np_pad - 1
+    n_rows = senders.shape[0]
     s_p = np.full(ep_pad, pad_node, dtype=np.int32)
     r_p = np.full(ep_pad, pad_node, dtype=np.int32)
-    s_p[:e], r_p[:e] = senders, receivers
+    s_p[:n_rows], r_p[:n_rows] = senders, receivers
     ea_p = np.zeros((ep_pad, edge_attr.shape[1]), dtype=dtype)
-    ea_p[:e] = edge_attr
+    ea_p[:n_rows] = edge_attr
 
     def pad_rows(a: np.ndarray, rows: int) -> np.ndarray:
         out = np.zeros((rows,) + a.shape[1:], dtype=dtype)
@@ -172,7 +222,7 @@ def build_graph_batch(
     node_mask = np.zeros(np_pad, dtype=dtype)
     node_mask[:n] = 1.0
     edge_mask = np.zeros(ep_pad, dtype=dtype)
-    edge_mask[:e] = 1.0
+    edge_mask[:n_rows] = edge_valid.astype(dtype)
     n_real_graphs = int(ng.max()) + 1 if n else 0
     graph_mask = np.zeros(num_graphs_pad, dtype=dtype)
     graph_mask[:n_real_graphs] = 1.0
@@ -185,6 +235,8 @@ def build_graph_batch(
         receivers=jnp.asarray(r_p),
         sender_perm=jnp.asarray(sender_perm),
         senders_sorted=jnp.asarray(senders_sorted),
+        tile_block=None if tile_block is None else jnp.asarray(tile_block),
+        tile_first=None if tile_first is None else jnp.asarray(tile_first),
         x=jnp.asarray(pad_rows(x, np_pad)),
         edge_attr=jnp.asarray(ea_p),
         pos=jnp.asarray(pad_rows(pos, np_pad)),
@@ -255,3 +307,43 @@ def _offsets(graphs: list) -> list:
         offs.append(acc)
         acc += g["x"].shape[0]
     return offs
+
+
+def _align_edge_blocks(senders, receivers, edge_attr, num_nodes_pad, dtype):
+    """Insert masked pad edges so each ALIGN_NODE_BLOCK-node block's edge
+    range is a whole number of ALIGN_EDGE_TILE-edge tiles; every node block
+    gets at least one tile (so the Pallas kernel writes all output blocks).
+
+    Pad edges replicate the block's boundary receiver (keeps receivers
+    ascending) with sender = receiver and zero features.
+    """
+    nb, et = ALIGN_NODE_BLOCK, ALIGN_EDGE_TILE
+    n_blocks = num_nodes_pad // nb
+    block_of_edge = receivers // nb
+    # edges are receiver-sorted, so each block's edges are one contiguous
+    # range: find boundaries with searchsorted (vectorized, O(E + blocks))
+    starts = np.searchsorted(block_of_edge, np.arange(n_blocks))
+    ends = np.searchsorted(block_of_edge, np.arange(n_blocks) + 1)
+    s_out, r_out, ea_out, valid = [], [], [], []
+    tile_block, tile_first = [], []
+    for b in range(n_blocks):
+        lo, hi = int(starts[b]), int(ends[b])
+        cnt = hi - lo
+        n_tiles = max(1, -(-cnt // et))
+        pad = n_tiles * et - cnt
+        s_out.append(senders[lo:hi])
+        r_out.append(receivers[lo:hi])
+        ea_out.append(edge_attr[lo:hi])
+        valid.append(np.ones(cnt, dtype=bool))
+        if pad:
+            fill_r = (receivers[hi - 1] if cnt
+                      else min(b * nb, num_nodes_pad - 1))
+            s_out.append(np.full(pad, fill_r, dtype=senders.dtype))
+            r_out.append(np.full(pad, fill_r, dtype=receivers.dtype))
+            ea_out.append(np.zeros((pad, edge_attr.shape[1]), dtype=dtype))
+            valid.append(np.zeros(pad, dtype=bool))
+        tile_block.extend([b] * n_tiles)
+        tile_first.extend([1] + [0] * (n_tiles - 1))
+    return (np.concatenate(s_out), np.concatenate(r_out),
+            np.concatenate(ea_out), np.concatenate(valid),
+            np.asarray(tile_block, np.int32), np.asarray(tile_first, np.int32))

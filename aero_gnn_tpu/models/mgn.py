@@ -45,6 +45,11 @@ class MGNConfig:
     # [E, h]-sized and 15 layers of them blow HBM on big meshes; remat
     # trades ~1/3 extra FLOPs for O(1)-in-depth activation memory.
     remat: bool = True
+    # Compute dtype for the processor ("float32" | "bfloat16"). The MP stack
+    # is HBM-bandwidth-bound ([E,h] activations dominate traffic), so bf16
+    # activations+weights nearly double throughput; params stay fp32 (master
+    # copy), LayerNorm statistics stay fp32, loss/decoder output are fp32.
+    compute_dtype: str = "float32"
 
     @property
     def layer_cfg(self) -> B.MGNLayerConfig:
@@ -91,20 +96,25 @@ class MGNConfig:
     # -- apply ------------------------------------------------------------
     def apply(self, params, graph: GraphBatch, *,
               rng: Optional[jax.Array] = None) -> jax.Array:
-        x = M.mlp_apply(params["node_encoder"], graph.x,
+        params = cast_params(params, self.compute_dtype)
+        x = M.mlp_apply(params["node_encoder"],
+                        _cast(graph.x, self.compute_dtype),
                         activation=self.activation, dropout=self.dropout,
                         rng=_sub(rng, 0))
-        e = M.mlp_apply(params["edge_encoder"], graph.edge_attr,
+        e = M.mlp_apply(params["edge_encoder"],
+                        _cast(graph.edge_attr, self.compute_dtype),
                         activation=self.activation, dropout=self.dropout,
                         rng=_sub(rng, 1))
         x, e = run_processor(
             params["layers"], self.layer_cfg, x, e,
-            graph.senders, graph.receivers, graph.edge_mask,
+            graph.senders, graph.receivers,
+            _cast(graph.edge_mask, self.compute_dtype),
             sender_perm=graph.sender_perm,
             senders_sorted=graph.senders_sorted,
             remat=self.remat,
         )
-        return M.mlp_apply(params["decoder"], x, activation=self.activation)
+        out = M.mlp_apply(params["decoder"], x, activation=self.activation)
+        return out.astype(jnp.float32)
 
 
 def run_processor(stacked_layers, layer_cfg: B.MGNLayerConfig,
@@ -131,3 +141,19 @@ def _sub(rng: Optional[jax.Array], i: int) -> Optional[jax.Array]:
     if rng is None:
         return None
     return jax.random.fold_in(rng, i)
+
+
+def _cast(a: jax.Array, dtype: str) -> jax.Array:
+    if dtype == "float32" or a is None:
+        return a
+    return a.astype(jnp.dtype(dtype))
+
+
+def cast_params(params, dtype: str):
+    """Cast fp32 master params to the compute dtype for the forward pass;
+    autodiff through the cast yields fp32 gradients for the optimizer."""
+    if dtype == "float32":
+        return params
+    dt = jnp.dtype(dtype)
+    return jax.tree.map(
+        lambda a: a.astype(dt) if a.dtype == jnp.float32 else a, params)

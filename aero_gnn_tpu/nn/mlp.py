@@ -37,10 +37,14 @@ def layer_norm_init(dim: int, dtype=jnp.float32):
 
 
 def layer_norm_apply(params, x: jax.Array) -> jax.Array:
-    mu = jnp.mean(x, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(x - mu), axis=-1, keepdims=True)
-    xn = (x - mu) * jax.lax.rsqrt(var + LN_EPS)
-    return xn * params["scale"] + params["bias"]
+    """LayerNorm with statistics in float32 (bf16-safe)."""
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
+    xn = (xf - mu) * jax.lax.rsqrt(var + LN_EPS)
+    out = xn * params["scale"].astype(jnp.float32) \
+        + params["bias"].astype(jnp.float32)
+    return out.astype(x.dtype)
 
 
 def activation_fn(name: str):

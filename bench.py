@@ -98,7 +98,9 @@ def main():
     n_nodes = int(os.environ.get("BENCH_NODES", 65536))
     mesh = get_mesh(n_nodes)
     n_edges = len(mesh["senders"])
-    graph = padded.build_graph_batch(**mesh)
+    # block-aligned layout: required by the Pallas aggregation kernel,
+    # harmless for the XLA path (extra edges are masked)
+    graph = padded.build_graph_batch(**mesh, align_edges=True)
     log(f"mesh: {n_nodes} nodes, {n_edges} edges "
         f"(padded {graph.num_nodes_pad}/{graph.num_edges_pad})")
 
@@ -106,7 +108,7 @@ def main():
     log(f"host sync RTT: {rtt*1e3:.1f} ms (subtracted from timings)")
     ITERS = int(os.environ.get("BENCH_ITERS", 16))
 
-    def build(do_concat_trick):
+    def build(do_concat_trick, compute_dtype="float32"):
         cfg = MGNConfig(
             input_node_dim=6, input_edge_dim=3, output_node_dim=4,
             processor_size=15, hidden_dim_processor=128,
@@ -117,7 +119,8 @@ def main():
             num_hidden_layers_node_encoder=2,
             num_hidden_layers_edge_encoder=2,
             num_hidden_layers_decoder=2,
-            aggregation="add", do_concat_trick=do_concat_trick)
+            aggregation="add", do_concat_trick=do_concat_trick,
+            compute_dtype=compute_dtype)
         params = cfg.init(jax.random.PRNGKey(0))
         optimizer = make_optimizer(1e-3)
         opt_state = optimizer.init(params)
@@ -141,8 +144,12 @@ def main():
 
         @jax.jit
         def fwd_k(params, graph):
+            # the carry perturbs the input so XLA cannot hoist the forward
+            # out of the loop as loop-invariant (it does, and it makes the
+            # timing 16x optimistic)
             def body(acc, _):
-                pred = cfg.apply(params, graph)
+                g = graph.replace(x=graph.x + acc * 1e-30)
+                pred = cfg.apply(params, g)
                 return acc + pred[0, 0], None
 
             acc, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=ITERS)
@@ -158,13 +165,15 @@ def main():
         f"-> {n_edges/t_base:,.0f} edges/s")
 
     # --- optimized path ---
-    backend = os.environ.get("AERO_GNN_OPS_BACKEND", ops.backend())
+    backend = os.environ.get("AERO_GNN_OPS_BACKEND", "pallas")
+    dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
     with ops.use_backend(backend):
-        p1, o1, step1, fwd1 = build(do_concat_trick=True)
+        p1, o1, step1, fwd1 = build(do_concat_trick=True,
+                                    compute_dtype=dtype)
         t_opt = time_scan_fn(step1, (p1, o1, graph), rtt, iters=ITERS)
         t_fwd = time_scan_fn(fwd1, (p1, graph), rtt, iters=ITERS)
-    log(f"optimized (concat-trick, {backend}): {t_opt*1e3:.2f} ms/step "
-        f"-> {n_edges/t_opt:,.0f} edges/s (train)")
+    log(f"optimized (concat-trick, {backend}, {dtype}): "
+        f"{t_opt*1e3:.2f} ms/step -> {n_edges/t_opt:,.0f} edges/s (train)")
     log(f"inference: {t_fwd*1e3:.2f} ms/pass "
         f"-> {1.0/t_fwd:,.2f} rollout steps/s, {n_edges/t_fwd:,.0f} edges/s")
 

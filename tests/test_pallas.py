@@ -1,0 +1,94 @@
+"""Pallas kernel tests (interpret mode on CPU; real compilation on TPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from aero_gnn_tpu import ops
+from aero_gnn_tpu.graph import padded
+from aero_gnn_tpu.ops.pallas_segment import segment_agg_pallas, derive_tiles
+
+from np_oracle import scatter_add, scatter_mean
+
+
+@pytest.fixture
+def aligned_graph():
+    rng = np.random.default_rng(3)
+    n, e = 300, 1500
+    g = dict(senders=rng.integers(0, n, e), receivers=rng.integers(0, n, e),
+             x=rng.standard_normal((n, 4)).astype(np.float32),
+             edge_attr=rng.standard_normal((e, 8)).astype(np.float32),
+             pos=rng.standard_normal((n, 2)).astype(np.float32))
+    gb = padded.build_graph_batch(**g, align_edges=True)
+    return g, gb
+
+
+def test_derive_tiles_matches_host(aligned_graph):
+    g, gb = aligned_graph
+    tb, tf = derive_tiles(gb.receivers)
+    np.testing.assert_array_equal(np.asarray(tb), np.asarray(gb.tile_block))
+    np.testing.assert_array_equal(np.asarray(tf), np.asarray(gb.tile_first))
+
+
+def test_pallas_segment_sum_matches_oracle(aligned_graph):
+    g, gb = aligned_graph
+    with pltpu.force_tpu_interpret_mode():
+        out = segment_agg_pallas(gb.edge_attr, gb.receivers,
+                                 gb.num_nodes_pad, aggregation="add",
+                                 mask=gb.edge_mask)
+    perm = padded.sort_edges_by_receiver(g["senders"], g["receivers"])
+    expect = scatter_add(g["edge_attr"][perm], g["receivers"][perm], 300)
+    np.testing.assert_allclose(np.asarray(out)[:300], expect,
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out)[300:], 0.0, atol=1e-6)
+
+
+def test_pallas_segment_mean_matches_oracle(aligned_graph):
+    g, gb = aligned_graph
+    with pltpu.force_tpu_interpret_mode():
+        out = segment_agg_pallas(gb.edge_attr, gb.receivers,
+                                 gb.num_nodes_pad, aggregation="mean",
+                                 mask=gb.edge_mask)
+    perm = padded.sort_edges_by_receiver(g["senders"], g["receivers"])
+    expect = scatter_mean(g["edge_attr"][perm], g["receivers"][perm], 300)
+    np.testing.assert_allclose(np.asarray(out)[:300], expect,
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_segment_sum_grad(aligned_graph):
+    g, gb = aligned_graph
+    w = jnp.asarray(np.random.default_rng(1).standard_normal(
+        (gb.num_nodes_pad, 8)).astype(np.float32))
+
+    def f_pallas(msgs):
+        with pltpu.force_tpu_interpret_mode():
+            out = segment_agg_pallas(msgs, gb.receivers, gb.num_nodes_pad,
+                                     aggregation="add", mask=gb.edge_mask)
+        return jnp.sum(out * w)
+
+    def f_xla(msgs):
+        return jnp.sum(ops.segment_sum(msgs, gb.receivers, gb.num_nodes_pad,
+                                       mask=gb.edge_mask) * w)
+
+    g1 = jax.grad(f_pallas)(gb.edge_attr)
+    g2 = jax.grad(f_xla)(gb.edge_attr)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_backend_full_model(aligned_graph):
+    """Whole MGN forward with ops backend = pallas equals the XLA backend."""
+    from aero_gnn_tpu.models.mgn import MGNConfig
+    g, gb = aligned_graph
+    cfg = MGNConfig(input_node_dim=4, input_edge_dim=8, output_node_dim=3,
+                    processor_size=2, hidden_dim_processor=16,
+                    hidden_dim_node_encoder=16, hidden_dim_edge_encoder=16,
+                    hidden_dim_decoder=16, do_concat_trick=True)
+    params = cfg.init(jax.random.PRNGKey(0))
+    ref = np.asarray(cfg.apply(params, gb))
+    with pltpu.force_tpu_interpret_mode():
+        with ops.use_backend("pallas"):
+            out = np.asarray(cfg.apply(params, gb))
+    np.testing.assert_allclose(out[:300], ref[:300], rtol=2e-4, atol=2e-4)
