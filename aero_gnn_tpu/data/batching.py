@@ -18,7 +18,14 @@ import numpy as np
 
 from aero_gnn_tpu.data.dataset import MeshSample
 from aero_gnn_tpu.graph import hierarchy as H
-from aero_gnn_tpu.graph.padded import GraphBatch, batch_graphs, bucket_size
+from aero_gnn_tpu.graph.padded import (
+    ALIGN_EDGE_TILE,
+    ALIGN_NODE_BLOCK,
+    GraphBatch,
+    _round_up,
+    batch_graphs,
+    bucket_size,
+)
 
 
 def sample_to_dict(s: MeshSample) -> Dict[str, np.ndarray]:
@@ -41,17 +48,28 @@ class PadSpec:
 
 
 def compute_pad_spec(samples: List[MeshSample], batch_size: int,
-                     *, hierarchy_levels: Optional[List[List[dict]]] = None
-                     ) -> PadSpec:
+                     *, hierarchy_levels: Optional[List[List[dict]]] = None,
+                     align_edges: bool = False) -> PadSpec:
     """One shared padded shape for every batch of up to ``batch_size``
-    samples: bucket the worst-case sum of the largest graphs."""
+    samples: bucket the worst-case sum of the largest graphs. With
+    ``align_edges`` the edge budget covers the worst-case block-alignment
+    overhead (up to one tile per node block) so every batch still compiles
+    to one shape."""
     ns = sorted((s.num_nodes for s in samples), reverse=True)
     es = sorted((s.num_edges for s in samples), reverse=True)
     worst_n = sum(ns[:batch_size])
     worst_e = sum(es[:batch_size])
+    if align_edges:
+        nodes_pad = bucket_size(worst_n + 1, multiple=ALIGN_NODE_BLOCK)
+        n_blocks = nodes_pad // ALIGN_NODE_BLOCK
+        edges_pad = _round_up(worst_e + n_blocks * ALIGN_EDGE_TILE,
+                              ALIGN_EDGE_TILE)
+    else:
+        nodes_pad = bucket_size(worst_n + 1)
+        edges_pad = bucket_size(worst_e)
     spec = PadSpec(
-        num_nodes_pad=bucket_size(worst_n + 1),
-        num_edges_pad=bucket_size(worst_e),
+        num_nodes_pad=nodes_pad,
+        num_edges_pad=edges_pad,
         num_graphs_pad=batch_size + 1,
     )
     if hierarchy_levels is not None:
@@ -80,6 +98,7 @@ class Loader:
                  num_scales: Optional[int] = None,
                  hierarchy_mode: str = "stride", stride: int = 2,
                  pad_spec: Optional[PadSpec] = None,
+                 align_edges: Optional[bool] = None,
                  drop_remainder: bool = False):
         if not samples:
             raise ValueError("Loader needs at least one sample")
@@ -89,6 +108,14 @@ class Loader:
         self.seed = seed
         self.drop_remainder = drop_remainder
         self._epoch = 0
+        if align_edges is None:
+            # Pallas aggregation requires the block-aligned layout; the
+            # BSMS hierarchy path keeps the plain layout (its coarse-level
+            # streams are not aligned, so it runs on the XLA ops)
+            from aero_gnn_tpu import ops as _ops
+            align_edges = (_ops.backend() == "pallas"
+                           and (num_scales is None or num_scales <= 1))
+        self.align_edges = align_edges
 
         self._hier: Optional[List[List[dict]]] = None
         if num_scales is not None and num_scales > 1:
@@ -101,7 +128,8 @@ class Loader:
                 for s in samples
             ]
         self.pad_spec = pad_spec or compute_pad_spec(
-            samples, batch_size, hierarchy_levels=self._hier)
+            samples, batch_size, hierarchy_levels=self._hier,
+            align_edges=self.align_edges)
 
     def __len__(self) -> int:
         n = len(self.samples)
@@ -125,6 +153,7 @@ class Loader:
                 num_nodes_pad=self.pad_spec.num_nodes_pad,
                 num_edges_pad=self.pad_spec.num_edges_pad,
                 num_graphs_pad=self.pad_spec.num_graphs_pad,
+                align_edges=self.align_edges,
             )
             aux: dict = {"samples": batch_samples}
             if self._hier is not None:

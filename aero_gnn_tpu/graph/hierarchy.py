@@ -332,12 +332,23 @@ def build_hierarchy_real(
             np.add.at(c_pos, f2c, cur_pos)
             np.add.at(cnt, f2c, 1.0)
             c_pos /= np.maximum(cnt, 1.0)[:, None]
+        # geometric node weights for WeightedEdgeConv-style transfer
+        # (canonical BSMS-GNN): half the total incident edge length per
+        # node; uniform when positions are absent.
+        if cur_pos is not None and len(cur_s):
+            lengths = np.linalg.norm(
+                cur_pos[cur_s] - cur_pos[cur_r], axis=1)
+            nw = np.zeros(cur_n)
+            np.add.at(nw, cur_r, lengths / 2.0)
+            nw = np.maximum(nw, 1e-12)
+        else:
+            nw = np.ones(cur_n)
         levels.append({
             "fine_to_coarse": f2c, "edge_to_coarse": e2c,
             "senders": c_s, "receivers": c_r, "node_graph": c_ng,
             "num_nodes": n_coarse, "num_edges": len(c_s),
             "num_fine_nodes": cur_n, "num_fine_edges": len(cur_s),
-            "pos": c_pos,
+            "pos": c_pos, "node_weights": nw,
         })
         cur_s, cur_r, cur_ng, cur_n, cur_pos = c_s, c_r, c_ng, n_coarse, c_pos
     return levels
@@ -383,7 +394,8 @@ def collate_hierarchies(
             nm[cn_off:cn_off + nc] = 1.0
             em[ce_off:ce_off + ec] = 1.0
             ng_p[cn_off:cn_off + nc] = gi
-            nw[fn_off:fn_off + nf] = 1.0
+            nw[fn_off:fn_off + nf] = lvl.get(
+                "node_weights", np.ones(nf))[:nf]
             ew[fe_off:fe_off + ef] = 1.0
             fn_off += nf
             fe_off += ef

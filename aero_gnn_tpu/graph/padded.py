@@ -117,8 +117,15 @@ def sort_edges_by_receiver(
     """Permutation that sorts edges destination-major (receiver, then sender).
 
     Stable lexicographic order gives a deterministic reduction order, which the
-    bitwise-parity tests rely on.
+    bitwise-parity tests rely on. Uses the native O(E+N) counting sort
+    (native/graphcore.cpp) when built; numpy lexsort otherwise.
     """
+    if len(senders) == 0:
+        return np.zeros(0, dtype=np.int64)
+    from aero_gnn_tpu.graph import native
+    if native.available():
+        num_nodes = int(max(senders.max(), receivers.max())) + 1
+        return native.sort_edges_by_receiver(senders, receivers, num_nodes)
     return np.lexsort((senders, receivers))
 
 
@@ -182,7 +189,9 @@ def build_graph_batch(
             _align_edge_blocks(senders, receivers, edge_attr, np_pad, dtype)
         e_aligned = senders.shape[0]
         if num_edges_pad is None:
-            ep_pad = bucket_size(e_aligned, multiple=ALIGN_EDGE_TILE)
+            # alignment already quantizes to whole tiles: pad exactly (use
+            # explicit num_edges_pad for cross-mesh bucket reuse instead)
+            ep_pad = _round_up(e_aligned, ALIGN_EDGE_TILE)
         if ep_pad < e_aligned or ep_pad % ALIGN_EDGE_TILE:
             raise ValueError(
                 f"num_edges_pad={ep_pad} incompatible with aligned edge "
@@ -229,6 +238,13 @@ def build_graph_batch(
 
     sender_perm = np.argsort(s_p, kind="stable").astype(np.int32)
     senders_sorted = s_p[sender_perm]
+    if align_edges:
+        # Align the SENDER-sorted stream to blocks as well, so the sorted
+        # segment-sum in the gather-transpose backward can also run on the
+        # Pallas kernel. Pad slots route to a masked (zero-cotangent) edge
+        # row; fill sender keys stay inside their node block.
+        sender_perm, senders_sorted = _align_sender_stream(
+            sender_perm, senders_sorted, edge_mask, np_pad)
 
     return GraphBatch(
         senders=jnp.asarray(s_p),
@@ -256,6 +272,7 @@ def batch_graphs(
     num_nodes_pad: Optional[int] = None,
     num_edges_pad: Optional[int] = None,
     num_graphs_pad: Optional[int] = None,
+    align_edges: bool = False,
     dtype: np.dtype = np.float32,
 ) -> GraphBatch:
     """Disjoint-union collation of host-side graphs into one ``GraphBatch``.
@@ -297,6 +314,7 @@ def batch_graphs(
         num_edges_pad=ep_pad,
         num_graphs_pad=gp_pad,
         node_graph=node_graph,
+        align_edges=align_edges,
         dtype=dtype,
     )
 
@@ -309,6 +327,53 @@ def _offsets(graphs: list) -> list:
     return offs
 
 
+def _align_sender_stream(sender_perm, senders_sorted, edge_mask,
+                         num_nodes_pad):
+    """Block-align the sender-sorted stream (for the backward Pallas path).
+
+    Returns (perm_aligned, keys_aligned): each ALIGN_NODE_BLOCK sender block
+    padded to whole ALIGN_EDGE_TILE tiles. Pad slots index a masked edge row
+    (whose cotangent is exactly zero — pad edges never reach the loss), so
+    no extra mask array is needed downstream.
+    """
+    nb, et = ALIGN_NODE_BLOCK, ALIGN_EDGE_TILE
+    masked_rows = np.nonzero(edge_mask == 0.0)[0]
+    if len(masked_rows) == 0:
+        # every edge row is real: fall back to the plain layout (backward
+        # will take the XLA path for the sender transpose)
+        return sender_perm, senders_sorted
+    pad_row = np.int32(masked_rows[-1])
+
+    n_blocks = num_nodes_pad // nb
+    block_of = senders_sorted // nb
+    starts = np.searchsorted(block_of, np.arange(n_blocks))
+    ends = np.searchsorted(block_of, np.arange(n_blocks) + 1)
+    perm_out, keys_out = [], []
+    for b in range(n_blocks):
+        lo, hi = int(starts[b]), int(ends[b])
+        cnt = hi - lo
+        n_tiles = max(1, -(-cnt // et))
+        pad = n_tiles * et - cnt
+        perm_out.append(sender_perm[lo:hi])
+        keys_out.append(senders_sorted[lo:hi])
+        if pad:
+            fill_k = (senders_sorted[hi - 1] if cnt
+                      else min(b * nb, num_nodes_pad - 1))
+            perm_out.append(np.full(pad, pad_row, dtype=np.int32))
+            keys_out.append(np.full(pad, fill_k,
+                                    dtype=senders_sorted.dtype))
+    perm_a = np.concatenate(perm_out)
+    keys_a = np.concatenate(keys_out)
+    total = _round_up(len(perm_a), et)
+    if total > len(perm_a):
+        extra = total - len(perm_a)
+        perm_a = np.concatenate(
+            [perm_a, np.full(extra, pad_row, np.int32)])
+        keys_a = np.concatenate(
+            [keys_a, np.full(extra, num_nodes_pad - 1, keys_a.dtype)])
+    return perm_a.astype(np.int32), keys_a
+
+
 def _align_edge_blocks(senders, receivers, edge_attr, num_nodes_pad, dtype):
     """Insert masked pad edges so each ALIGN_NODE_BLOCK-node block's edge
     range is a whole number of ALIGN_EDGE_TILE-edge tiles; every node block
@@ -318,6 +383,35 @@ def _align_edge_blocks(senders, receivers, edge_attr, num_nodes_pad, dtype):
     ascending) with sender = receiver and zero features.
     """
     nb, et = ALIGN_NODE_BLOCK, ALIGN_EDGE_TILE
+
+    from aero_gnn_tpu.graph import native
+    if native.available():
+        res = native.align_blocks(receivers, num_nodes_pad, nb, et)
+        if res is not None:
+            rows, tile_block, tile_first = res
+            slots = len(rows)
+            pad = rows < 0
+            idx = np.where(pad, 0, rows)
+            s_slot = senders[idx].copy()
+            r_slot = receivers[idx].copy()
+            ea_slot = edge_attr[idx].copy()
+            ea_slot[pad] = 0.0
+            # pad-slot fill receivers must stay inside the slot's node block
+            # (keeps receivers ascending and tile->block derivation exact)
+            blk = tile_block[np.arange(slots) // et].astype(np.int64)
+            last_real = np.maximum.accumulate(
+                np.where(~pad, np.arange(slots), -1))
+            prev_rows = np.where(last_real >= 0, rows[np.clip(last_real, 0, None)], 0)
+            prev_r = receivers[prev_rows]
+            use_prev = (last_real >= 0) & (prev_r // nb == blk)
+            fill_r = np.where(use_prev, prev_r,
+                              np.minimum(blk * nb, num_nodes_pad - 1)
+                              ).astype(receivers.dtype)
+            r_slot = np.where(pad, fill_r, r_slot)
+            s_slot = np.where(pad, fill_r, s_slot)
+            return (s_slot, r_slot, ea_slot, ~pad,
+                    tile_block.astype(np.int32), tile_first.astype(np.int32))
+
     n_blocks = num_nodes_pad // nb
     block_of_edge = receivers // nb
     # edges are receiver-sorted, so each block's edges are one contiguous

@@ -28,6 +28,36 @@ from aero_gnn_tpu.inference.metrics import (
 )
 
 
+def plot_2d_predictions(pos, pred, target, feature_names, save_path,
+                        case_name=""):
+    """Per-feature ground-truth vs prediction scatter over x-coordinate
+    (plot_2d_airfoil_predictions parity, inference.py:128-166)."""
+    try:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except ImportError:
+        return
+    n_features = len(feature_names)
+    x = pos[:, 0]
+    fig = plt.figure(figsize=(12, 4 * n_features))
+    for i, name in enumerate(feature_names):
+        ax = plt.subplot(n_features, 1, i + 1)
+        ax.scatter(x, target[:, i], c="b", alpha=0.7, s=20,
+                   label="Ground Truth", marker="o")
+        ax.scatter(x, pred[:, i], c="g", alpha=0.7, s=20,
+                   label="Prediction", marker="^")
+        ax.set_xlabel("X Coordinate")
+        ax.set_ylabel(name)
+        ax.legend()
+        ax.grid(True, alpha=0.3)
+    plt.suptitle(f"Predictions Comparison - {case_name}")
+    plt.tight_layout()
+    base = save_path.rsplit(".", 1)[0]
+    plt.savefig(f"{base}_predictions.png", dpi=120, bbox_inches="tight")
+    plt.close(fig)
+
+
 class AeroInference:
     def __init__(self, model_cfg, params, norm_stats: Dict[str, np.ndarray],
                  exp_params: Dict[str, Any], *,
@@ -71,7 +101,11 @@ class AeroInference:
 
         stamp = timestamp or datetime.datetime.now().strftime("%d-%m_%H-%M")
         inference_dir = os.path.join(output_dir, f"inference_results_{stamp}")
-        os.makedirs(inference_dir, exist_ok=True)
+        plots_dir = os.path.join(inference_dir, "plots")
+        vtu_dir = os.path.join(inference_dir, "vtu_exports")
+        os.makedirs(plots_dir, exist_ok=True)
+        os.makedirs(vtu_dir, exist_ok=True)
+        make_plots = self.exp_params.get("make_plots", True)
 
         loader = Loader(test_samples, batch_size=1,
                         num_scales=self.num_scales if self.needs_hierarchy
@@ -118,6 +152,31 @@ class AeroInference:
                 if key in sample.meta:
                     case[key] = sample.meta[key]
             all_case.append(case)
+
+            # per-case artifacts: 2D scatter plots (inference.py:128-166) or
+            # 3D VTU export with predicted/true/error arrays (:168-220)
+            if make_plots:
+                if sample.pos.shape[1] == 2:
+                    case_name = f"Case {i:03d}"
+                    if "airfoil" in sample.meta:
+                        case_name += f" - {sample.meta['airfoil']}"
+                    if "mach" in sample.meta and "alpha" in sample.meta:
+                        case_name += (f" (M={sample.meta['mach']:.2f}, "
+                                      f"a={sample.meta['alpha']:.1f})")
+                    plot_2d_predictions(
+                        sample.pos, pp, tp, target_features,
+                        os.path.join(plots_dir,
+                                     f"prediction_case_{i:03d}.png"),
+                        case_name)
+                else:
+                    from aero_gnn_tpu.data.vtk_writer import (
+                        export_predictions_vtu)
+                    name = sample.meta.get("case_no", f"case_{i:03d}")
+                    export_predictions_vtu(
+                        os.path.join(vtu_dir, f"{name}_predictions.vtu"),
+                        points=sample.pos, senders=sample.senders,
+                        receivers=sample.receivers,
+                        feature_names=target_features, pred=pp, target=tp)
 
         pp_all = np.concatenate(cat_pp)
         tp_all = np.concatenate(cat_tp)

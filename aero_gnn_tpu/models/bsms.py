@@ -37,6 +37,11 @@ class BSMSConfig(MGNConfig):
     layers_per_scale: int = 2
     stride: int = 2
     hierarchy_mode: str = "stride"  # "stride" (reference parity) | "bistride"
+    # fine->coarse transfer: "mean" (reference parity, bsms_mgn.py:265) |
+    # "weighted" — WeightedEdgeConv-style geometric weights (canonical
+    # BSMS-GNN): nodes pooled with per-node area weights (half incident
+    # edge length), precomputed on host (HierarchyLevel.node_weights).
+    transfer: str = "mean"
 
     @property
     def down_counts(self) -> Sequence[int]:
@@ -110,9 +115,19 @@ class BSMSConfig(MGNConfig):
                                  sender_perm=sperm, senders_sorted=ssort,
                                  remat=self.remat)
             skips.append((x, e, senders, receivers, edge_mask, sperm, ssort))
-            x = segment_mean(x, level.fine_to_coarse,
-                             level.num_coarse_nodes_pad, mask=node_mask,
-                             indices_are_sorted=False)
+            if self.transfer == "weighted":
+                w = (level.node_weights * node_mask).astype(x.dtype)
+                wsum = jax.ops.segment_sum(
+                    w, level.fine_to_coarse,
+                    num_segments=level.num_coarse_nodes_pad)
+                x = jax.ops.segment_sum(
+                    x * w[:, None], level.fine_to_coarse,
+                    num_segments=level.num_coarse_nodes_pad)
+                x = x / jnp.maximum(wsum, 1e-12)[:, None]
+            else:
+                x = segment_mean(x, level.fine_to_coarse,
+                                 level.num_coarse_nodes_pad, mask=node_mask,
+                                 indices_are_sorted=False)
             e = segment_mean(e, level.edge_to_coarse,
                              level.num_coarse_edges_pad, mask=edge_mask,
                              indices_are_sorted=False)

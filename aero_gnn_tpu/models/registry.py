@@ -92,6 +92,7 @@ def build_model(model_config: Dict[str, Any], dims: Dict[str, int]):
             layers_per_scale=mc.get("layers_per_scale", 2),
             stride=mc.get("stride", 2),
             hierarchy_mode=mc.get("hierarchy_mode", "stride"),
+            transfer=mc.get("transfer", "mean"),
         )
     if kind == "poolmgn":
         return PoolMGNConfig(

@@ -155,12 +155,25 @@ def _gather_senders_fwd(num_nodes, x, senders, sender_perm, senders_sorted):
     return out, (senders, sender_perm, senders_sorted)
 
 
+def _dispatch_sorted_segment_sum(data, segment_ids, num_segments):
+    """Sorted segment sum, routed to the Pallas kernel when the pallas
+    backend is active and the stream is block-aligned."""
+    from aero_gnn_tpu import ops as _ops
+
+    if _ops.backend() == "pallas":
+        from aero_gnn_tpu.ops.pallas_segment import segment_agg_pallas
+
+        return segment_agg_pallas(data, segment_ids, num_segments,
+                                  aggregation="add")
+    return jax.ops.segment_sum(data, segment_ids,
+                               num_segments=num_segments,
+                               indices_are_sorted=True)
+
+
 def _gather_senders_bwd(num_nodes, res, ct):
     senders, sender_perm, senders_sorted = res
     ct_sorted = ct.at[sender_perm].get(mode="promise_in_bounds")
-    dx = jax.ops.segment_sum(ct_sorted, senders_sorted,
-                             num_segments=num_nodes,
-                             indices_are_sorted=True)
+    dx = _dispatch_sorted_segment_sum(ct_sorted, senders_sorted, num_nodes)
     return dx, None, None, None
 
 
@@ -191,8 +204,7 @@ def _gather_receivers_fwd(num_nodes, x, receivers):
 
 def _gather_receivers_bwd(num_nodes, res, ct):
     (receivers,) = res
-    dx = jax.ops.segment_sum(ct, receivers, num_segments=num_nodes,
-                             indices_are_sorted=True)
+    dx = _dispatch_sorted_segment_sum(ct, receivers, num_nodes)
     return dx, None
 
 

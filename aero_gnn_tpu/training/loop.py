@@ -166,6 +166,11 @@ def fit(
     stopped = False
     start_epoch = 0
 
+    from aero_gnn_tpu.utils.logging import MetricLogger
+    metrics = MetricLogger(
+        os.path.join(checkpoint_dir, "..", "metrics.jsonl")
+        if checkpoint_dir else None)
+
     if checkpoint_dir and training_config.get("resume"):
         from aero_gnn_tpu.training import checkpoint as C
         restored = C.restore_latest(checkpoint_dir, params, opt_state)
@@ -187,6 +192,8 @@ def fit(
         if log_every and epoch % log_every == 0:
             log_fn(f"epoch {epoch:4d}  loss {train_loss:.6f}  "
                    f"val {val_loss:.6f}  lr {new_lr:.2e}")
+        metrics.log(epoch, train_loss=train_loss, val_loss=val_loss,
+                    lr=new_lr)
         if checkpoint_dir and ckpt_every and (epoch + 1) % ckpt_every == 0:
             from aero_gnn_tpu.training import checkpoint as C
             C.save(checkpoint_dir, params, opt_state, epoch + 1,
@@ -196,6 +203,7 @@ def fit(
             stopped = True
             break
 
+    metrics.close()
     return FitResult(
         params=params, opt_state=opt_state,
         train_losses=train_losses, val_losses=val_losses,

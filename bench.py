@@ -98,11 +98,16 @@ def main():
     n_nodes = int(os.environ.get("BENCH_NODES", 65536))
     mesh = get_mesh(n_nodes)
     n_edges = len(mesh["senders"])
-    # block-aligned layout: required by the Pallas aggregation kernel,
-    # harmless for the XLA path (extra edges are masked)
-    graph = padded.build_graph_batch(**mesh, align_edges=True)
+    np_pad = -(-(n_nodes + 1) // 512) * 512
+    # baseline gets the plain layout (a naive port would not block-align);
+    # the optimized path gets the block-aligned layout the Pallas kernel
+    # needs (exact padding, no bucket growth)
+    graph_base = padded.build_graph_batch(**mesh, num_nodes_pad=np_pad)
+    graph = padded.build_graph_batch(**mesh, num_nodes_pad=np_pad,
+                                     align_edges=True)
     log(f"mesh: {n_nodes} nodes, {n_edges} edges "
-        f"(padded {graph.num_nodes_pad}/{graph.num_edges_pad})")
+        f"(padded base {graph_base.num_nodes_pad}/{graph_base.num_edges_pad},"
+        f" aligned {graph.num_nodes_pad}/{graph.num_edges_pad})")
 
     rtt = measure_rtt()
     log(f"host sync RTT: {rtt*1e3:.1f} ms (subtracted from timings)")
@@ -160,7 +165,7 @@ def main():
     # --- baseline: reference-style full-concat EdgeBlock on plain XLA ---
     with ops.use_backend("xla"):
         p0, o0, step0, _ = build(do_concat_trick=False)
-        t_base = time_scan_fn(step0, (p0, o0, graph), rtt, iters=ITERS)
+        t_base = time_scan_fn(step0, (p0, o0, graph_base), rtt, iters=ITERS)
     log(f"baseline (full-concat EdgeBlock, XLA): {t_base*1e3:.2f} ms/step "
         f"-> {n_edges/t_base:,.0f} edges/s")
 

@@ -239,3 +239,47 @@ def test_registry_builds_all():
         cfg = build_model(mc, dims)
         params = cfg.init(jax.random.PRNGKey(0))
         assert params is not None
+
+
+def test_bsms_weighted_transfer(rng):
+    """Weighted transfer: equals mean pooling when all edge lengths are
+    equal (ring mesh), and runs end-to-end via the Loader hierarchy path."""
+    from aero_gnn_tpu.data.dataset import MeshSample, compute_features
+    from aero_gnn_tpu.data.batching import Loader
+    import dataclasses as dc
+
+    n = 32
+    th = np.linspace(0, 2 * np.pi, n, endpoint=False)
+    pos = np.stack([np.cos(th), np.sin(th)], 1).astype(np.float32)
+    idx = np.arange(n)
+    s = MeshSample(pos=pos, normals=pos.copy(),
+                   senders=np.concatenate([idx, (idx + 1) % n]),
+                   receivers=np.concatenate([(idx + 1) % n, idx]),
+                   y=rng.standard_normal((n, 4)).astype(np.float32),
+                   meta={"mach": 0.5, "alpha": 0.0, "airfoil": "ring"})
+    compute_features([s], ["mach", "alpha"])
+
+    cfg_mean = BSMSConfig(**tiny_mgn(do_concat_trick=True), num_scales=2,
+                          layers_per_scale=1, transfer="mean")
+    cfg_w = dc.replace(cfg_mean, transfer="weighted")
+    params = cfg_mean.init(jax.random.PRNGKey(0))
+
+    loader = Loader([s], 1, num_scales=2)
+    gb, aux = next(iter(loader))
+    out_mean = np.asarray(cfg_mean.apply(params, gb,
+                                         hierarchy=aux["hierarchy"]))
+    out_w = np.asarray(cfg_w.apply(params, gb, hierarchy=aux["hierarchy"]))
+    # ring edges all have identical length -> weights uniform -> identical
+    np.testing.assert_allclose(out_w[:n], out_mean[:n], rtol=1e-5, atol=1e-5)
+
+    # non-uniform mesh: weighted must differ from mean
+    s2 = MeshSample(pos=pos * np.linspace(1, 3, n)[:, None],
+                    normals=pos.copy(),
+                    senders=s.senders.copy(), receivers=s.receivers.copy(),
+                    y=s.y.copy(), meta=dict(s.meta))
+    compute_features([s2], ["mach", "alpha"])
+    loader2 = Loader([s2], 1, num_scales=2)
+    gb2, aux2 = next(iter(loader2))
+    o_m = np.asarray(cfg_mean.apply(params, gb2, hierarchy=aux2["hierarchy"]))
+    o_w = np.asarray(cfg_w.apply(params, gb2, hierarchy=aux2["hierarchy"]))
+    assert np.abs(o_m[:n] - o_w[:n]).max() > 1e-6

@@ -92,3 +92,52 @@ def test_pallas_backend_full_model(aligned_graph):
         with ops.use_backend("pallas"):
             out = np.asarray(cfg.apply(params, gb))
     np.testing.assert_allclose(out[:300], ref[:300], rtol=2e-4, atol=2e-4)
+
+
+def test_loader_pallas_backend_fixed_shapes_and_training():
+    """Loader auto-aligns under the pallas backend; shapes stay fixed across
+    batches and a train step learns (interpret mode)."""
+    import optax
+    from aero_gnn_tpu.data import dataset as D
+    from aero_gnn_tpu.data.batching import Loader
+    from aero_gnn_tpu.data.synthetic import make_airfoil_dataset
+    from aero_gnn_tpu.models.mgn import MGNConfig
+    from aero_gnn_tpu.training.loop import masked_mse, make_optimizer
+
+    samples = make_airfoil_dataset(n_cases=6, n_points=48, seed=5)
+    D.compute_features(samples, ["mach", "alpha"])
+    with ops.use_backend("pallas"):
+        loader = Loader(samples, batch_size=2, shuffle=True)
+        shapes = set()
+        for gb, _ in loader:
+            shapes.add((gb.num_nodes_pad, gb.num_edges_pad))
+            assert gb.num_nodes_pad % 512 == 0
+            assert gb.num_edges_pad % 512 == 0
+        assert len(shapes) == 1
+
+        # remat=False: interpret-mode pallas_call is an io_callback, which
+        # jax.checkpoint cannot trace (real TPU compilation has no issue)
+        cfg = MGNConfig(input_node_dim=6, input_edge_dim=3,
+                        output_node_dim=4, processor_size=1,
+                        hidden_dim_processor=16, hidden_dim_node_encoder=16,
+                        hidden_dim_edge_encoder=16, hidden_dim_decoder=16,
+                        do_concat_trick=True, remat=False)
+        params = cfg.init(jax.random.PRNGKey(0))
+        opt = make_optimizer(1e-3)
+        ost = opt.init(params)
+
+        def step(p, o, g):
+            def loss_fn(q):
+                return masked_mse(cfg.apply(q, g), g.y, g.node_mask)
+            loss, grads = jax.value_and_grad(loss_fn)(p)
+            up, o = opt.update(grads, o, p)
+            return optax.apply_updates(p, up), o, loss
+
+        with pltpu.force_tpu_interpret_mode():
+            losses = []
+            for _ in range(3):
+                for gb, _ in loader:
+                    params, ost, loss = step(params, ost, gb)
+                    losses.append(float(loss))
+        assert losses[-1] < losses[0]
+        assert np.isfinite(losses).all()
