@@ -304,8 +304,12 @@ def build_hierarchy_real(
     Coarse edges are receiver-sorted.
     """
     levels: List[dict] = []
-    cur_s = np.asarray(senders, dtype=np.int64)
-    cur_r = np.asarray(receivers, dtype=np.int64)
+    # Fine edges must be in the SAME order as GraphBatch rows (receiver-
+    # sorted) so edge_to_coarse indexes the model's edge tensor correctly.
+    perm0 = sort_edges_by_receiver(np.asarray(senders),
+                                   np.asarray(receivers))
+    cur_s = np.asarray(senders, dtype=np.int64)[perm0]
+    cur_r = np.asarray(receivers, dtype=np.int64)[perm0]
     cur_ng = np.asarray(node_graph, dtype=np.int64)
     cur_n = num_nodes
     cur_pos = None if pos is None else np.asarray(pos, dtype=np.float64)
@@ -442,9 +446,12 @@ def build_hierarchy(
     whole dataset shares compiled shapes (see data.batching.hierarchy_pad_plan).
     """
     levels: List[HierarchyLevel] = []
+    # receiver-sort level-0 edges to match GraphBatch row order
+    perm0 = sort_edges_by_receiver(np.asarray(senders),
+                                   np.asarray(receivers))
     cur = {
-        "senders": np.asarray(senders, dtype=np.int64),
-        "receivers": np.asarray(receivers, dtype=np.int64),
+        "senders": np.asarray(senders, dtype=np.int64)[perm0],
+        "receivers": np.asarray(receivers, dtype=np.int64)[perm0],
         "node_graph": np.asarray(node_graph, dtype=np.int64),
         "num_nodes": num_nodes,
         "pos": None if pos is None else np.asarray(pos, dtype=np.float64),
