@@ -38,7 +38,7 @@ def _round_up(x: int, m: int) -> int:
 # ALIGN_EDGE_TILE-row tiles. Large blocks amortize the per-grid-step
 # overhead; the one-hot matmul FLOPs they add ride the idle MXU.
 ALIGN_NODE_BLOCK = 512
-ALIGN_EDGE_TILE = 512
+ALIGN_EDGE_TILE = 1024
 
 
 def bucket_size(n: int, multiple: int = 128, growth: float = 1.3) -> int:

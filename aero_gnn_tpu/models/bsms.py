@@ -92,6 +92,14 @@ class BSMSConfig(MGNConfig):
             raise ValueError(
                 f"hierarchy has {len(hierarchy)} levels, expected "
                 f"{self.num_scales - 1}")
+        # BSMS streams (fine + coarse levels) are not block-aligned, so the
+        # Pallas aggregation kernel must not be dispatched here even when
+        # the pallas backend is globally enabled.
+        from aero_gnn_tpu import ops as _ops
+        with _ops.use_backend("xla"):
+            return self._apply(params, graph, hierarchy, rng)
+
+    def _apply(self, params, graph, hierarchy, rng):
         x = M.mlp_apply(params["node_encoder"], graph.x,
                         activation=self.activation, dropout=self.dropout,
                         rng=_sub(rng, 0))

@@ -50,6 +50,11 @@ class MGNConfig:
     # activations+weights nearly double throughput; params stay fp32 (master
     # copy), LayerNorm statistics stay fp32, loss/decoder output are fp32.
     compute_dtype: str = "float32"
+    # One decoder MLP per output field instead of a single joint decoder —
+    # the "separated decoder" experiment visible in the reference
+    # (/root/reference/models/mgn.py:77-99, commented out; the deleted
+    # seperatedDecoder module). Outputs are concatenated field-wise.
+    separate_decoders: bool = False
 
     @property
     def layer_cfg(self) -> B.MGNLayerConfig:
@@ -84,12 +89,22 @@ class MGNConfig:
         layers = [B.mgn_layer_init(k, self.layer_cfg, dtype) for k in layer_keys]
         # Stack per-layer pytrees along a leading axis for lax.scan.
         stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
-        decoder = M.mlp_init(
-            kd, self.hidden_dim_processor, self.hidden_dim_decoder,
-            self.output_node_dim,
-            num_hidden_layers=self.num_hidden_layers_decoder,
-            use_layer_norm=False, dtype=dtype,
-        )
+        if self.separate_decoders:
+            dec_keys = jax.random.split(kd, self.output_node_dim)
+            decoder = [
+                M.mlp_init(k, self.hidden_dim_processor,
+                           self.hidden_dim_decoder, 1,
+                           num_hidden_layers=self.num_hidden_layers_decoder,
+                           use_layer_norm=False, dtype=dtype)
+                for k in dec_keys
+            ]
+        else:
+            decoder = M.mlp_init(
+                kd, self.hidden_dim_processor, self.hidden_dim_decoder,
+                self.output_node_dim,
+                num_hidden_layers=self.num_hidden_layers_decoder,
+                use_layer_norm=False, dtype=dtype,
+            )
         return {"node_encoder": node_enc, "edge_encoder": edge_enc,
                 "layers": stacked, "decoder": decoder}
 
@@ -113,7 +128,13 @@ class MGNConfig:
             senders_sorted=graph.senders_sorted,
             remat=self.remat,
         )
-        out = M.mlp_apply(params["decoder"], x, activation=self.activation)
+        if self.separate_decoders:
+            out = jnp.concatenate(
+                [M.mlp_apply(d, x, activation=self.activation)
+                 for d in params["decoder"]], axis=-1)
+        else:
+            out = M.mlp_apply(params["decoder"], x,
+                              activation=self.activation)
         return out.astype(jnp.float32)
 
 

@@ -83,7 +83,9 @@ def build_model(model_config: Dict[str, Any], dims: Dict[str, int]):
         )
     if kind == "mgn":
         return MGNConfig(**_mgn_kwargs(mc, dims),
-                         do_concat_trick=mc.get("do_concat_trick", False))
+                         do_concat_trick=mc.get("do_concat_trick", False),
+                         separate_decoders=mc.get("separate_decoders",
+                                                  False))
     if kind == "bsms_mgn":
         return BSMSConfig(
             **_mgn_kwargs(mc, dims),

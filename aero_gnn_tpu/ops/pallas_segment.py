@@ -117,6 +117,78 @@ def _ssp_bwd(num_nodes, res, ct):
 _segment_sum_pallas.defvjp(_ssp_fwd, _ssp_bwd)
 
 
+def _gather_kernel(tile_block_ref, recv_ref, nodes_ref, out_ref):
+    """Block-aligned row gather: out[e] = nodes[recv[e]] via a one-hot MXU
+    matmul [ET, NB] @ [NB, h] (the transpose of the aggregation kernel)."""
+    t = pl.program_id(0)
+    base = tile_block_ref[t] * NB
+    local = recv_ref[:] - base  # [ET, 1]
+    cols = jax.lax.broadcasted_iota(jnp.int32, (ET, NB), 1)
+    onehot = jnp.where(local == cols, 1.0, 0.0).astype(nodes_ref.dtype)
+    out_ref[:] = jax.lax.dot_general(
+        onehot, nodes_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(out_ref.dtype)
+
+
+def _gather_fwd_pallas(nodes, receivers, tile_block):
+    n_tiles = tile_block.shape[0]
+    h = nodes.shape[1]
+    recv2d = receivers.reshape(-1, 1)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,  # tile_block
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((ET, 1), lambda t, tb: (t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((NB, h), lambda t, tb: (tb[t], 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((ET, h), lambda t, tb: (t, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        _gather_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_tiles * ET, h), nodes.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_tiles * ET * NB * h,
+            bytes_accessed=(nodes.size + n_tiles * ET * h)
+            * nodes.dtype.itemsize,
+            transcendentals=0,
+        ),
+    )(tile_block, recv2d, nodes)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _gather_receivers_impl(nodes, receivers, num_nodes: int):
+    tile_block, _ = derive_tiles(receivers)
+    return _gather_fwd_pallas(nodes, receivers, tile_block)
+
+
+def _grp_fwd(nodes, receivers, num_nodes):
+    return _gather_receivers_impl(nodes, receivers, num_nodes), (receivers,)
+
+
+def _grp_bwd(num_nodes, res, ct):
+    (receivers,) = res
+    tile_block, tile_first = derive_tiles(receivers)
+    mask = jnp.ones(ct.shape[0], dtype=ct.dtype)
+    d_nodes = _segment_sum_pallas(ct, receivers, mask, tile_block,
+                                  tile_first, num_nodes)
+    return d_nodes, None
+
+
+_gather_receivers_impl.defvjp(_grp_fwd, _grp_bwd)
+
+
+def gather_receivers_pallas(nodes, receivers):
+    """Aligned-receiver row gather on the Pallas kernel; backward is the
+    Pallas segment-sum. REQUIRES the block-aligned layout."""
+    return _gather_receivers_impl(nodes, receivers, nodes.shape[0])
+
+
 def derive_tiles(receivers: jax.Array):
     """Tile metadata from a block-aligned receiver stream (computable inside
     jit: each tile's first receiver determines its node block; pad tails

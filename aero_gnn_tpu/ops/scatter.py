@@ -212,7 +212,18 @@ _gather_receivers_impl.defvjp(_gather_receivers_fwd, _gather_receivers_bwd)
 
 
 def gather_receivers(x, receivers):
-    """``x[receivers]`` (ascending ids) with a sorted segment-sum backward."""
+    """``x[receivers]`` (ascending ids) with a sorted segment-sum backward.
+
+    Under the pallas backend with a block-aligned stream, both directions
+    run on the Pallas one-hot kernels.
+    """
+    from aero_gnn_tpu import ops as _ops
+
+    if _ops.backend() == "pallas":
+        from aero_gnn_tpu.ops import pallas_segment as PS
+
+        if (receivers.shape[0] % PS.ET == 0 and x.shape[0] % PS.NB == 0):
+            return PS.gather_receivers_pallas(x, receivers)
     return _gather_receivers_impl(x.shape[0], x, receivers)
 
 

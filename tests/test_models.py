@@ -283,3 +283,14 @@ def test_bsms_weighted_transfer(rng):
     o_m = np.asarray(cfg_mean.apply(params, gb2, hierarchy=aux2["hierarchy"]))
     o_w = np.asarray(cfg_w.apply(params, gb2, hierarchy=aux2["hierarchy"]))
     assert np.abs(o_m[:n] - o_w[:n]).max() > 1e-6
+
+
+def test_mgn_separate_decoders(rng):
+    import dataclasses as dc
+    cfg = MGNConfig(**tiny_mgn(do_concat_trick=True), separate_decoders=True)
+    params = cfg.init(jax.random.PRNGKey(11))
+    assert isinstance(params["decoder"], list) and len(params["decoder"]) == 4
+    gb = padded.build_graph_batch(**small_mesh(rng))
+    out = cfg.apply(params, gb)
+    assert out.shape == (gb.num_nodes_pad, 4)
+    assert np.isfinite(np.asarray(out)).all()

@@ -145,3 +145,20 @@ def test_bsms_end_to_end_training(tiny_data):
                          "early_stopping": False},
         needs_hierarchy=True, log_every=0, log_fn=lambda s: None)
     assert result.train_losses[-1] < result.train_losses[0]
+
+
+def test_batch_rollout_matches_individual(tiny_data):
+    from aero_gnn_tpu.inference.rollout import make_batch_rollout, stack_graphs
+    train, val, test, stats = tiny_data
+    dims = {"input_node_dim": 6, "input_edge_dim": 3, "output_node_dim": 4}
+    cfg = build_model(TINY_MODEL, dims)
+    params = cfg.init(jax.random.PRNGKey(9))
+    loader = Loader(test, batch_size=1)
+    graphs = [gb for gb, _ in loader]
+    stacked = stack_graphs(graphs)
+    rollout = make_batch_rollout(cfg)
+    preds = np.asarray(rollout(params, stacked))
+    assert preds.shape[0] == len(graphs)
+    for k, gb in enumerate(graphs):
+        single = np.asarray(cfg.apply(params, gb))
+        np.testing.assert_allclose(preds[k], single, rtol=1e-5, atol=1e-6)
