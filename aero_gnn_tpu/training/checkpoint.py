@@ -58,6 +58,46 @@ def restore_latest(ckpt_dir: str, params_like, opt_state_like
     return params, opt_state, payload["epoch"], payload["history"]
 
 
+# ---------------------------------------------------------------------------
+# Orbax backend (async, multi-host-safe) — optional; the pickle path above
+# is the default for single-process runs.
+# ---------------------------------------------------------------------------
+
+def make_orbax_manager(ckpt_dir: str, *, max_to_keep: int = 3,
+                       async_save: bool = True):
+    """CheckpointManager for params+opt_state+history pytrees."""
+    import orbax.checkpoint as ocp
+
+    options = ocp.CheckpointManagerOptions(
+        max_to_keep=max_to_keep, enable_async_checkpointing=async_save)
+    return ocp.CheckpointManager(os.path.abspath(ckpt_dir), options=options)
+
+
+def save_orbax(manager, params, opt_state, epoch: int,
+               history: Dict[str, Any]) -> None:
+    import orbax.checkpoint as ocp
+
+    manager.save(epoch, args=ocp.args.Composite(
+        state=ocp.args.StandardSave({"params": params,
+                                     "opt_state": opt_state}),
+        history=ocp.args.JsonSave(history)))
+
+
+def restore_orbax(manager, params_like, opt_state_like):
+    """Restore the newest orbax step; None when the directory is empty."""
+    import orbax.checkpoint as ocp
+
+    step = manager.latest_step()
+    if step is None:
+        return None
+    restored = manager.restore(step, args=ocp.args.Composite(
+        state=ocp.args.StandardRestore({"params": params_like,
+                                        "opt_state": opt_state_like}),
+        history=ocp.args.JsonRestore()))
+    return (restored["state"]["params"], restored["state"]["opt_state"],
+            step, dict(restored["history"]))
+
+
 def save_params(path: str, params) -> None:
     """Final model weights artifact (model_weights equivalent)."""
     with open(path, "wb") as f:

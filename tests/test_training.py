@@ -162,3 +162,17 @@ def test_batch_rollout_matches_individual(tiny_data):
     for k, gb in enumerate(graphs):
         single = np.asarray(cfg.apply(params, gb))
         np.testing.assert_allclose(preds[k], single, rtol=1e-5, atol=1e-6)
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    import jax.numpy as jnp
+    from aero_gnn_tpu.training import checkpoint as C
+    params = {"w": jnp.ones((4, 4)), "b": jnp.zeros(4)}
+    opt = {"mu": jnp.full((4, 4), 0.5)}
+    m = C.make_orbax_manager(str(tmp_path / "ckpt"), async_save=False)
+    C.save_orbax(m, params, opt, 3, {"train_losses": [1.0, 0.5]})
+    m.wait_until_finished()
+    p2, o2, step, hist = C.restore_orbax(m, params, opt)
+    np.testing.assert_allclose(np.asarray(p2["w"]), 1.0)
+    np.testing.assert_allclose(np.asarray(o2["mu"]), 0.5)
+    assert step == 3 and hist["train_losses"] == [1.0, 0.5]
