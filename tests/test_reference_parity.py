@@ -178,3 +178,44 @@ def test_poolmgn_output_parity_vs_reference(rng):
                                   x=x, edge_attr=ea, pos=pos)
     ours = np.asarray(cfg.apply(params, gb))[:40]
     np.testing.assert_allclose(ours, ref_out, rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.parametrize("concat_trick", [False, True])
+def test_torch_checkpoint_import(rng, concat_trick, tmp_path):
+    """Saving a trained reference checkpoint and importing the .pt file
+    must reproduce the reference outputs (the migration path)."""
+    from models.mgn import MeshGraphNet
+    from aero_gnn_tpu.utils.torch_import import import_reference_checkpoint
+
+    torch.manual_seed(7)
+    ref = MeshGraphNet(
+        input_node_dim=6, input_edge_dim=3, output_node_dim=4,
+        processor_size=2, hidden_dim_processor=32,
+        num_hidden_layers_node_processor=2,
+        num_hidden_layers_edge_processor=2,
+        hidden_dim_node_encoder=32, num_hidden_layers_node_encoder=2,
+        hidden_dim_edge_encoder=32, num_hidden_layers_edge_encoder=2,
+        hidden_dim_decoder=32, num_hidden_layers_decoder=2,
+        aggregation="add", do_concat_trick=concat_trick).eval()
+    path = str(tmp_path / "model_weights.pt")
+    torch.save(ref.state_dict(), path)
+
+    senders, receivers, x, ea, pos = make_graph(rng)
+    with torch.no_grad():
+        ref_out = ref(torch.tensor(x), torch.tensor(ea),
+                      torch.tensor(np.stack([senders, receivers]))).numpy()
+
+    params = import_reference_checkpoint(path, "mgn")
+    cfg = MGNConfig(input_node_dim=6, input_edge_dim=3, output_node_dim=4,
+                    hidden_dim_node_encoder=32, hidden_dim_edge_encoder=32,
+                    hidden_dim_decoder=32, do_concat_trick=concat_trick,
+                    processor_size=2, hidden_dim_processor=32,
+                    num_hidden_layers_node_processor=2,
+                    num_hidden_layers_edge_processor=2,
+                    num_hidden_layers_node_encoder=2,
+                    num_hidden_layers_edge_encoder=2,
+                    num_hidden_layers_decoder=2, aggregation="add")
+    gb = padded.build_graph_batch(senders=senders, receivers=receivers,
+                                  x=x, edge_attr=ea, pos=pos)
+    ours = np.asarray(cfg.apply(params, gb))[:40]
+    np.testing.assert_allclose(ours, ref_out, rtol=2e-4, atol=2e-5)
