@@ -46,6 +46,9 @@ class MGNLayerConfig:
     # hardcodes ReLU (/root/reference/models/mgnLayer.py:81).
     edge_sum_activation: str = "relu"
 
+    def ln_in_edge_block(self) -> bool:
+        return self.use_layer_norm
+
 
 # ---------------------------------------------------------------------------
 # EdgeBlock (full concat form)
@@ -184,6 +187,54 @@ def mgn_layer_init(key: jax.Array, cfg: MGNLayerConfig, dtype=jnp.float32):
     return {"edge": edge, "node": node_block_init(kn, cfg, dtype)}
 
 
+def _fused_layer_ok(cfg: MGNLayerConfig, node_attr, receivers,
+                    edge_mask) -> bool:
+    from aero_gnn_tpu import ops as _ops
+
+    if _ops.backend() != "pallas" or not cfg.do_concat_trick:
+        return False
+    if cfg.edge_sum_activation != "relu" or edge_mask is None:
+        return False
+    from aero_gnn_tpu.ops import pallas_segment as PS
+
+    return (receivers.shape[0] % PS.ET == 0
+            and node_attr.shape[0] % PS.NB == 0)
+
+
+def _mgn_layer_fused(params, cfg: MGNLayerConfig, node_attr, edge_attr,
+                     senders, receivers, edge_mask, sender_perm,
+                     senders_sorted):
+    """Pallas fused path: whole edge-MLP chain + residual + aggregation in
+    one kernel (ops.pallas_fused); node update stays on XLA."""
+    from aero_gnn_tpu import ops
+    from aero_gnn_tpu.ops.pallas_fused import fused_edge_layer
+
+    p = params["edge"]
+    s_proj = node_attr @ p["w_s"]
+    d_proj = node_attr @ p["w_d"] + p["b"]
+    sg = ops.gather_senders(s_proj, senders, sender_perm, senders_sorted)
+    dg = ops.gather_receivers(d_proj, receivers)
+    ws = (jnp.stack([s["w"] for s in p["stack"][:-1]])
+          if len(p["stack"]) > 1
+          else jnp.zeros((0, s_proj.shape[1], s_proj.shape[1]),
+                         s_proj.dtype))
+    bs = (jnp.stack([s["b"] for s in p["stack"][:-1]])
+          if len(p["stack"]) > 1
+          else jnp.zeros((0, s_proj.shape[1]), s_proj.dtype))
+    edge_attr, agg = fused_edge_layer(
+        edge_attr, sg, dg, edge_mask, receivers,
+        p["w_e"], ws, bs, p["stack"][-1]["w"], p["stack"][-1]["b"],
+        p["ln"]["scale"], p["ln"]["bias"],
+        node_attr.shape[0], cfg.edge_sum_activation)
+    if cfg.aggregation == "mean":
+        deg = ops.degree(receivers, node_attr.shape[0], mask=edge_mask,
+                         dtype=agg.dtype)
+        agg = agg / jnp.maximum(deg, 1.0)[:, None]
+    node_attr = node_attr + node_block_post(params["node"], cfg,
+                                            node_attr, agg)
+    return node_attr, edge_attr
+
+
 def mgn_layer_apply(
     params, cfg: MGNLayerConfig,
     node_attr: jax.Array, edge_attr: jax.Array,
@@ -193,6 +244,11 @@ def mgn_layer_apply(
     senders_sorted: Optional[jax.Array] = None,
 ):
     """One processor step; returns (node_attr', edge_attr')."""
+    if (cfg.do_concat_trick and cfg.ln_in_edge_block()
+            and _fused_layer_ok(cfg, node_attr, receivers, edge_mask)):
+        return _mgn_layer_fused(params, cfg, node_attr, edge_attr,
+                                senders, receivers, edge_mask,
+                                sender_perm, senders_sorted)
     if cfg.do_concat_trick:
         delta_e = edge_block_sum_apply(
             params["edge"], cfg, edge_attr, node_attr, senders, receivers,

@@ -164,3 +164,83 @@ def test_pallas_gather_receivers_and_grad(aligned_graph):
     g2 = jax.grad(lambda n: jnp.sum(n[gb.receivers] * w))(nodes)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
                                rtol=1e-4, atol=1e-4)
+
+
+class TestFusedEdgeLayer:
+    def _params(self, h=16, n_hidden=2, seed=0):
+        rng = np.random.default_rng(seed)
+        f = lambda *s: jnp.asarray(rng.standard_normal(s).astype(np.float32) * 0.1)
+        return dict(w_e=f(h, h), ws=f(n_hidden, h, h), bs=f(n_hidden, h),
+                    w_out=f(h, h), b_out=f(h), ln_scale=jnp.ones(h),
+                    ln_bias=jnp.zeros(h))
+
+    def test_fused_matches_equivalent(self, aligned_graph):
+        from aero_gnn_tpu.ops import pallas_fused as PF
+        g, gb = aligned_graph
+        h = 16
+        rng = np.random.default_rng(5)
+        E, N = gb.num_edges_pad, gb.num_nodes_pad
+        e = jnp.asarray(rng.standard_normal((E, h)).astype(np.float32))
+        sg = jnp.asarray(rng.standard_normal((E, h)).astype(np.float32))
+        dg = jnp.asarray(rng.standard_normal((E, h)).astype(np.float32))
+        p = self._params(h)
+        args = (e, sg, dg, gb.edge_mask, gb.receivers, p["w_e"], p["ws"],
+                p["bs"], p["w_out"], p["b_out"], p["ln_scale"], p["ln_bias"])
+        with pltpu.force_tpu_interpret_mode():
+            e2, agg = PF.fused_edge_layer(*args, N, "relu")
+        e2_ref, agg_ref = PF._equiv(*args, num_nodes=N)
+        np.testing.assert_allclose(np.asarray(e2), np.asarray(e2_ref),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(agg), np.asarray(agg_ref),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_fused_grads_match_equivalent(self, aligned_graph):
+        from aero_gnn_tpu.ops import pallas_fused as PF
+        g, gb = aligned_graph
+        h = 16
+        rng = np.random.default_rng(6)
+        E, N = gb.num_edges_pad, gb.num_nodes_pad
+        e = jnp.asarray(rng.standard_normal((E, h)).astype(np.float32))
+        sg = jnp.asarray(rng.standard_normal((E, h)).astype(np.float32))
+        dg = jnp.asarray(rng.standard_normal((E, h)).astype(np.float32))
+        p = self._params(h, seed=7)
+        wn = jnp.asarray(rng.standard_normal((N, h)).astype(np.float32))
+        we_ = jnp.asarray(rng.standard_normal((E, h)).astype(np.float32))
+
+        def loss_fused(e, w_e):
+            e2, agg = PF.fused_edge_layer(
+                e, sg, dg, gb.edge_mask, gb.receivers, w_e, p["ws"],
+                p["bs"], p["w_out"], p["b_out"], p["ln_scale"],
+                p["ln_bias"], N, "relu")
+            return jnp.sum(e2 * we_) + jnp.sum(agg * wn)
+
+        def loss_ref(e, w_e):
+            e2, agg = PF._equiv(
+                e, sg, dg, gb.edge_mask, gb.receivers, w_e, p["ws"],
+                p["bs"], p["w_out"], p["b_out"], p["ln_scale"],
+                p["ln_bias"], num_nodes=N)
+            return jnp.sum(e2 * we_) + jnp.sum(agg * wn)
+
+        with pltpu.force_tpu_interpret_mode():
+            g1 = jax.grad(loss_fused, argnums=(0, 1))(e, p["w_e"])
+        g2 = jax.grad(loss_ref, argnums=(0, 1))(e, p["w_e"])
+        for a, b in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-4, atol=2e-4)
+
+    def test_full_model_fused_path_matches_xla(self, aligned_graph):
+        from aero_gnn_tpu.models.mgn import MGNConfig
+        g, gb = aligned_graph
+        cfg = MGNConfig(input_node_dim=4, input_edge_dim=8,
+                        output_node_dim=3, processor_size=2,
+                        hidden_dim_processor=16, hidden_dim_node_encoder=16,
+                        hidden_dim_edge_encoder=16, hidden_dim_decoder=16,
+                        num_hidden_layers_edge_processor=2,
+                        do_concat_trick=True, remat=False)
+        params = cfg.init(jax.random.PRNGKey(21))
+        ref = np.asarray(cfg.apply(params, gb))
+        with pltpu.force_tpu_interpret_mode():
+            with ops.use_backend("pallas"):
+                out = np.asarray(cfg.apply(params, gb))
+        np.testing.assert_allclose(out[:300], ref[:300], rtol=3e-4,
+                                   atol=3e-4)
