@@ -207,12 +207,60 @@ def spatial_mgn_forward(params, cfg, sg_block: SpatialGraph,
     return M.mlp_apply(params["decoder"], x, activation=cfg.activation)
 
 
+def spatial_model_forward(params, model_cfg, sg_block: SpatialGraph, *,
+                          axis: str = "graph") -> jax.Array:
+    """Model-kind dispatch for the spatially partitioned forward.
+
+    Supports MGN (base), FourierMGN (local feature transform), and PoolMGN
+    (global context via cross-shard masked-mean psum — the single-mesh
+    analogue of per-graph pooling).
+    """
+    from aero_gnn_tpu.models.fouriermgn import FourierMGNConfig, fourier_embedding
+    from aero_gnn_tpu.models.poolmgn import PoolMGNConfig
+
+    if isinstance(model_cfg, FourierMGNConfig):
+        emb = fourier_embedding(
+            sg_block.x, dims=model_cfg.fourier_features_dim,
+            freq_start=model_cfg.fourier_freq_start,
+            freq_length=model_cfg.fourier_freq_length)
+        sg_block = dataclasses.replace(
+            sg_block, x=jnp.concatenate([sg_block.x, emb], axis=-1))
+        return spatial_mgn_forward(params, model_cfg, sg_block, axis=axis)
+
+    if isinstance(model_cfg, PoolMGNConfig):
+        g = M.mlp_apply(params["global_encoder"], sg_block.x,
+                        activation=model_cfg.activation)
+        m = sg_block.node_mask[:, None]
+        if model_cfg.global_pool_method == "mean":
+            s = jax.lax.psum(jnp.sum(g * m, axis=0), axis)
+            cnt = jax.lax.psum(jnp.sum(sg_block.node_mask), axis)
+            pooled = s / jnp.maximum(cnt, 1.0)
+        elif model_cfg.global_pool_method in ("add", "sum"):
+            pooled = jax.lax.psum(jnp.sum(g * m, axis=0), axis)
+        elif model_cfg.global_pool_method == "max":
+            neg = jnp.finfo(g.dtype).min
+            local = jnp.max(jnp.where(m > 0, g, neg), axis=0)
+            pooled = jax.lax.pmax(local, axis)
+        else:
+            raise ValueError(
+                f"Unsupported global pooling method: "
+                f"{model_cfg.global_pool_method}")
+        x_in = jnp.concatenate(
+            [sg_block.x,
+             jnp.broadcast_to(pooled[None], (sg_block.x.shape[0],
+                                             pooled.shape[0]))], axis=-1)
+        sg_block = dataclasses.replace(sg_block, x=x_in)
+        return spatial_mgn_forward(params, model_cfg, sg_block, axis=axis)
+
+    return spatial_mgn_forward(params, model_cfg, sg_block, axis=axis)
+
+
 def make_spatial_forward(model_cfg, mesh: Mesh, *, axis: str = "graph"):
     """jitted SpatialGraph -> [P, Nl, Dy] predictions over the mesh axis."""
 
     def per_shard(params, sg):
         sg = jax.tree.map(lambda a: a[0], sg)
-        out = spatial_mgn_forward(params, model_cfg, sg, axis=axis)
+        out = spatial_model_forward(params, model_cfg, sg, axis=axis)
         return out[None]
 
     specs = P(axis)

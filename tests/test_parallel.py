@@ -205,3 +205,55 @@ class TestHaloExchange:
             losses.append(float(loss))
         assert losses[-1] < losses[0]
         assert np.isfinite(losses).all()
+
+
+class TestSpatialModelVariants:
+    def test_fouriermgn_spatial_equals_single_device(self):
+        from aero_gnn_tpu.models.fouriermgn import FourierMGNConfig
+        cfg = FourierMGNConfig(**TINY, do_concat_trick=True,
+                               fourier_features_dim=2,
+                               fourier_freq_start=-3, fourier_freq_length=3)
+        params = cfg.init(jax.random.PRNGKey(21))
+        s = make_random_mesh_sample(n_nodes=200, seed=6)
+        D.compute_features([s], ["mach", "alpha"])
+        gb = padded.build_graph_batch(
+            senders=s.senders, receivers=s.receivers, x=s.x,
+            edge_attr=s.edge_attr, pos=s.pos, y=s.y)
+        ref = np.asarray(cfg.apply(params, gb))[:s.num_nodes]
+
+        mesh = make_mesh(data=1, graph=8)
+        sg = SP.partition_graph(
+            senders=s.senders, receivers=s.receivers, x=s.x,
+            edge_attr=s.edge_attr, pos=s.pos, y=s.y, num_parts=8)
+        out = np.asarray(SP.make_spatial_forward(cfg, mesh)(params, sg))
+        order = SP._morton_order(s.pos)
+        n_local = sg.nodes_per_part
+        got = np.zeros_like(ref)
+        for p in range(8):
+            chunk = order[p * n_local:(p + 1) * n_local]
+            got[chunk] = out[p, :len(chunk)]
+        np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+    def test_poolmgn_spatial_equals_single_device(self):
+        from aero_gnn_tpu.models.poolmgn import PoolMGNConfig
+        cfg = PoolMGNConfig(**TINY, global_dim=16, global_pool_method="mean")
+        params = cfg.init(jax.random.PRNGKey(22))
+        s = make_random_mesh_sample(n_nodes=200, seed=7)
+        D.compute_features([s], ["mach", "alpha"])
+        gb = padded.build_graph_batch(
+            senders=s.senders, receivers=s.receivers, x=s.x,
+            edge_attr=s.edge_attr, pos=s.pos, y=s.y)
+        ref = np.asarray(cfg.apply(params, gb))[:s.num_nodes]
+
+        mesh = make_mesh(data=1, graph=8)
+        sg = SP.partition_graph(
+            senders=s.senders, receivers=s.receivers, x=s.x,
+            edge_attr=s.edge_attr, pos=s.pos, y=s.y, num_parts=8)
+        out = np.asarray(SP.make_spatial_forward(cfg, mesh)(params, sg))
+        order = SP._morton_order(s.pos)
+        n_local = sg.nodes_per_part
+        got = np.zeros_like(ref)
+        for p in range(8):
+            chunk = order[p * n_local:(p + 1) * n_local]
+            got[chunk] = out[p, :len(chunk)]
+        np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
