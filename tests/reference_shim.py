@@ -62,6 +62,10 @@ def install_shims() -> None:
         tg_nn.global_mean_pool = _global_pool("mean")
         tg_nn.global_max_pool = _global_pool("max")
         tg_nn.global_add_pool = _global_pool("add")
+        # class stubs so `from torch_geometric.nn import ...` resolves
+        # (trial1.py imports but never instantiates these)
+        for name in ("MessagePassing", "GCNConv", "GINEConv", "GraphSAGE"):
+            setattr(tg_nn, name, type(name, (), {}))
         tg.nn = tg_nn
         sys.modules["torch_geometric"] = tg
         sys.modules["torch_geometric.nn"] = tg_nn

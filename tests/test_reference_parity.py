@@ -219,3 +219,92 @@ def test_torch_checkpoint_import(rng, concat_trick, tmp_path):
                                   x=x, edge_attr=ea, pos=pos)
     ours = np.asarray(cfg.apply(params, gb))[:40]
     np.testing.assert_allclose(ours, ref_out, rtol=2e-4, atol=2e-5)
+
+
+def test_fouriermgn_output_parity_vs_reference(rng):
+    from models.fouriermgn import FourierMeshGraphNet
+    from aero_gnn_tpu.models.fouriermgn import FourierMGNConfig
+
+    torch.manual_seed(4)
+    ref = FourierMeshGraphNet(
+        input_node_dim=6, input_edge_dim=3, output_node_dim=4,
+        processor_size=2, hidden_dim_processor=32,
+        num_hidden_layers_node_processor=1,
+        num_hidden_layers_edge_processor=1,
+        hidden_dim_node_encoder=32, num_hidden_layers_node_encoder=1,
+        hidden_dim_edge_encoder=32, num_hidden_layers_edge_encoder=1,
+        hidden_dim_decoder=32, num_hidden_layers_decoder=1,
+        aggregation="add", fourier_features_dim=2,
+        fourier_freq_start=-3, fourier_freq_length=7).eval()
+
+    senders, receivers, x, ea, pos = make_graph(rng)
+    with torch.no_grad():
+        ref_out = ref(torch.tensor(x), torch.tensor(ea),
+                      torch.tensor(np.stack([senders, receivers]))).numpy()
+
+    cfg = FourierMGNConfig(
+        input_node_dim=6, input_edge_dim=3, output_node_dim=4,
+        processor_size=2, hidden_dim_processor=32,
+        num_hidden_layers_node_processor=1,
+        num_hidden_layers_edge_processor=1,
+        hidden_dim_node_encoder=32, num_hidden_layers_node_encoder=1,
+        hidden_dim_edge_encoder=32, num_hidden_layers_edge_encoder=1,
+        hidden_dim_decoder=32, num_hidden_layers_decoder=1,
+        aggregation="add", fourier_features_dim=2,
+        fourier_freq_start=-3, fourier_freq_length=7)
+    params = shim.convert_mgn(ref)
+    gb = padded.build_graph_batch(senders=senders, receivers=receivers,
+                                  x=x, edge_attr=ea, pos=pos)
+    ours = np.asarray(cfg.apply(params, gb))[:40]
+    np.testing.assert_allclose(ours, ref_out, rtol=2e-4, atol=2e-5)
+
+
+def test_mgn_v2_output_parity_vs_reference(rng):
+    from models.trial1 import MeshGraphNet_v2
+    from aero_gnn_tpu.models.mgn_v2 import MGNv2Config
+    import jax.numpy as jnp
+
+    torch.manual_seed(5)
+    ref = MeshGraphNet_v2(node_input_size=6, edge_input_size=3,
+                          hidden_channels=16, out_channels=4,
+                          num_graph_conv_layers=2, num_encoder_layers=2,
+                          num_decoder_layers=2).eval()
+
+    senders, receivers, x, ea, pos = make_graph(rng)
+    with torch.no_grad():
+        ref_out = ref(torch.tensor(x), torch.tensor(ea),
+                      torch.tensor(np.stack([senders, receivers])),
+                      torch.zeros(40, dtype=torch.long)).numpy()
+
+    def conv_seq(seq):
+        linears, ln = [], None
+        for mod in seq:
+            if isinstance(mod, torch.nn.Linear):
+                linears.append({"w": shim._t(mod.weight).T.copy(),
+                                "b": shim._t(mod.bias).copy()})
+            elif isinstance(mod, torch.nn.LayerNorm):
+                ln = {"scale": shim._t(mod.weight).copy(),
+                      "bias": shim._t(mod.bias).copy()}
+        return {"linears": linears, "ln": ln}
+
+    layers = [{"edge_mlp": conv_seq(l.edge_mlp),
+               "node_mlp": conv_seq(l.node_mlp)} for l in ref.layers]
+    stacked = jax.tree.map(
+        lambda *xs: jnp.stack([jnp.asarray(a) for a in xs]), *layers)
+    params = {
+        "node_encoder": conv_seq(ref.node_encoder.mlp),
+        "edge_encoder": conv_seq(ref.edge_encoder.mlp),
+        "global_encoder": conv_seq(ref.extract_feature.mlp),
+        "global_linout": {"w": shim._t(ref.extract_feature.linout.weight).T.copy(),
+                          "b": shim._t(ref.extract_feature.linout.bias).copy()},
+        "layers": stacked,
+        "decoder": conv_seq(ref.decoder),
+    }
+    cfg = MGNv2Config(node_input_size=6, edge_input_size=3,
+                      hidden_channels=16, out_channels=4,
+                      num_graph_conv_layers=2, num_encoder_layers=2,
+                      num_decoder_layers=2)
+    gb = padded.build_graph_batch(senders=senders, receivers=receivers,
+                                  x=x, edge_attr=ea, pos=pos)
+    ours = np.asarray(cfg.apply(params, gb))[:40]
+    np.testing.assert_allclose(ours, ref_out, rtol=2e-4, atol=2e-5)
