@@ -140,6 +140,17 @@ class AeroInference:
                     f"| CN:{pred_c['CN']:7.4f} ({true_c['CN']:7.4f}) "
                     f"| Cm:{pred_c['Cm']:7.4f} ({true_c['Cm']:7.4f})")
                 log_fn(f"Error in case{i:03d}: {rrmse:7.4f}%{coeff_str}")
+            elif dataset_name == "ahmed_body":
+                coeffs = self._ahmed_coefficients(sample, pp, tp)
+                if coeffs is not None:
+                    coeff_str = (
+                        f" | CA:{coeffs['CA_pred']:7.4f} "
+                        f"({coeffs['CA_true']:7.4f}) "
+                        f"| CN:{coeffs['CN_pred']:7.4f} "
+                        f"({coeffs['CN_true']:7.4f}) "
+                        f"| CY:{coeffs['CY_pred']:7.4f} "
+                        f"({coeffs['CY_true']:7.4f})")
+                    log_fn(f"Error in case{i:03d}: {rrmse:7.4f}%{coeff_str}")
 
             case = {
                 "case_id": i,
@@ -190,6 +201,48 @@ class AeroInference:
             all_case, mean_phys, mean_norm, target_features, dataset_name)
         log_fn(f"Inference complete! Results saved to: {inference_dir}")
         return inference_dir
+
+    def _ahmed_coefficients(self, sample: MeshSample, pred_phys, target_phys
+                            ) -> Optional[Dict[str, float]]:
+        """Re-read the case's surface mesh, integrate on cell data — the
+        ahmed_body coefficient pipeline (inference.py:298-333)."""
+        data_dir = self.exp_params.get("dataset", {}).get("data_dir")
+        split = sample.meta.get("split")
+        case_no = sample.meta.get("case_no")
+        velocity = sample.meta.get("Velocity")
+        height = sample.meta.get("Height")
+        width = sample.meta.get("Width")
+        if None in (data_dir, split, case_no, velocity, height, width):
+            return None
+        path = os.path.join(str(data_dir), str(split), f"{case_no}.vtp")
+        if not os.path.exists(path):
+            return None
+        from aero_gnn_tpu.data.vtk_core import read_any
+        from aero_gnn_tpu.data.vtk_geometry import (
+            compute_cell_normals_areas,
+            extract_surface,
+            point_data_to_cell_data,
+        )
+        from aero_gnn_tpu.inference.aero_coeffs import (
+            ahmed_dynamic_pressure,
+            calculate_aero_coefficients_3d,
+        )
+
+        mesh = extract_surface(read_any(path))
+        normals, areas = compute_cell_normals_areas(mesh)
+        mesh.point_data = {
+            "p_true": target_phys[:, 0],
+            "tau_true": target_phys[:, 1:4],
+            "p_pred": pred_phys[:, 0],
+            "tau_pred": pred_phys[:, 1:4],
+        }
+        cell = point_data_to_cell_data(mesh)
+        return calculate_aero_coefficients_3d(
+            cell_areas=areas, cell_normals=normals,
+            pressure_true=cell["p_true"], shear_true=cell["tau_true"],
+            pressure_pred=cell["p_pred"], shear_pred=cell["tau_pred"],
+            reference_area=float(height) * float(width) * 1e-6 / 2,
+            dynamic_pressure=ahmed_dynamic_pressure(float(velocity)))
 
     @staticmethod
     def _write_errors_txt(path: str, all_case: List[dict],

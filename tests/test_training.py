@@ -176,3 +176,55 @@ def test_orbax_checkpoint_roundtrip(tmp_path):
     np.testing.assert_allclose(np.asarray(p2["w"]), 1.0)
     np.testing.assert_allclose(np.asarray(o2["mu"]), 0.5)
     assert step == 3 and hist["train_losses"] == [1.0, 0.5]
+
+
+def test_ahmed_body_inference_with_coefficients(tmp_path):
+    """Full ahmed_body path: VTP files + info metadata -> dataset ->
+    inference with 3D CA/CN/CY coefficients in errors.txt."""
+    import pathlib
+    import sys as _sys
+    _sys.path.insert(0, str(pathlib.Path(__file__).parent))
+    from test_vtk import make_tri_sphereish_mesh
+    from aero_gnn_tpu.data.vtk_writer import write_vtp
+    from aero_gnn_tpu.data import mesh_io
+
+    data_dir = tmp_path / "ahmed"
+    for split in ("train", "validation", "test"):
+        (data_dir / split).mkdir(parents=True)
+        (data_dir / f"{split}_info").mkdir()
+        n = 2 if split == "train" else 1
+        for k in range(n):
+            case = f"case_{split}_{k}"
+            write_vtp(str(data_dir / split / f"{case}.vtp"),
+                      make_tri_sphereish_mesh())
+            (data_dir / f"{split}_info" / f"{case}_info.txt").write_text(
+                "Length : 1044.0\nWidth : 389.0\nHeight : 288.0\n"
+                "Velocity : 40.0\n")
+
+    samples = mesh_io.load_ahmed_body(str(data_dir), {"training": {}})
+    assert len(samples) == 4
+    assert samples[0].meta["Velocity"] == 40.0
+
+    exp_params = {"dataset": {"name": "ahmed_body",
+                              "data_dir": str(data_dir),
+                              "var_keys": ["Velocity"],
+                              "output_features": ["P", "tau_x", "tau_y",
+                                                  "tau_z"]}}
+    train, val, test, stats = D.create_datasets(
+        samples, dataset_type="ahmed_body", params=exp_params)
+    assert len(train) == 2 and len(test) == 1
+
+    dims = {"input_node_dim": samples[0].x.shape[1],
+            "input_edge_dim": 4, "output_node_dim": 4}
+    cfg = build_model({"name": "meshgraphnet", "hidden_dim": 16,
+                       "processor_size": 1, "do_concat_trick": True,
+                       "aggregation": "add"}, dims)
+    params = cfg.init(jax.random.PRNGKey(0))
+    engine = AeroInference(cfg, params, stats, exp_params)
+    out_dir = engine.run_inference(test, str(tmp_path / "out"),
+                                   log_fn=lambda s: None)
+    errors = open(os.path.join(out_dir, "errors.txt")).read()
+    assert "CA:" in errors and "CY:" in errors  # 3D coefficient path ran
+    # VTU prediction export for the 3D case
+    vtu_dir = os.path.join(out_dir, "vtu_exports")
+    assert any(f.endswith(".vtu") for f in os.listdir(vtu_dir))
