@@ -95,6 +95,12 @@ def main():
     dev = jax.devices()[0]
     log(f"device: {dev.platform} {getattr(dev, 'device_kind', '?')}")
 
+    # RTT first: the graph transfer below ships hundreds of MB through the
+    # relay; measuring before keeps the trivial-op program warm and gives
+    # early evidence the chip executes at all
+    rtt = measure_rtt()
+    log(f"host sync RTT: {rtt*1e3:.1f} ms (subtracted from timings)")
+
     n_nodes = int(os.environ.get("BENCH_NODES", 65536))
     mesh = get_mesh(n_nodes)
     n_edges = len(mesh["senders"])
@@ -108,9 +114,9 @@ def main():
     log(f"mesh: {n_nodes} nodes, {n_edges} edges "
         f"(padded base {graph_base.num_nodes_pad}/{graph_base.num_edges_pad},"
         f" aligned {graph.num_nodes_pad}/{graph.num_edges_pad})")
-
-    rtt = measure_rtt()
-    log(f"host sync RTT: {rtt*1e3:.1f} ms (subtracted from timings)")
+    t0 = time.perf_counter()
+    float(graph.edge_mask[0]) + float(graph_base.edge_mask[0])  # force H2D
+    log(f"graph transfer+sync: {time.perf_counter()-t0:.1f} s")
     ITERS = int(os.environ.get("BENCH_ITERS", 16))
 
     def build(do_concat_trick, compute_dtype="float32"):
@@ -190,5 +196,35 @@ def main():
     }), flush=True)
 
 
+def _main_with_retries() -> None:
+    """The TPU tunnel in this environment intermittently wedges (trivial
+    ops hang until the client process dies). Run the measurement in a child
+    process with a timeout and retry a few times; forward its stdout."""
+    import subprocess
+
+    attempts = int(os.environ.get("BENCH_ATTEMPTS", 3))
+    timeout_s = int(os.environ.get("BENCH_TIMEOUT_S", 1500))
+    for attempt in range(attempts):
+        env = dict(os.environ, BENCH_INNER="1")
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env, timeout=timeout_s, capture_output=True, text=True)
+        except subprocess.TimeoutExpired:
+            log(f"bench attempt {attempt + 1}/{attempts} timed out after "
+                f"{timeout_s}s (wedged TPU tunnel?); retrying")
+            continue
+        sys.stderr.write(proc.stderr)
+        if proc.returncode == 0 and proc.stdout.strip():
+            sys.stdout.write(proc.stdout)
+            return
+        log(f"bench attempt {attempt + 1}/{attempts} failed "
+            f"(rc={proc.returncode}); retrying")
+    raise SystemExit("bench failed after retries")
+
+
 if __name__ == "__main__":
-    main()
+    if os.environ.get("BENCH_INNER"):
+        main()
+    else:
+        _main_with_retries()
