@@ -14,9 +14,11 @@ vs the unfused XLA path this saves ~4 [E, h] HBM round-trips per layer
 (h0/z1/z2/de) plus the aggregation's input re-read. Weights live in VMEM
 across the whole grid (constant index maps).
 
-Backward (custom VJP): recomputes through an equivalent jnp composition —
-the fusion benefits the forward and the remat re-forward; a fused backward
-kernel is future work.
+Backward (custom VJP): a matching fused backward kernel recomputes the
+chain per tile in VMEM and produces the input gradients plus weight-grad
+accumulators that stay VMEM-resident across the entire grid (constant
+output index maps, written back once). Set AERO_GNN_FUSED_BWD=0 to fall
+back to autodiff through the jnp-equivalent composition.
 
 Layout contract: block-aligned edges (graph.padded align_edges) — ET-row
 tiles per NB-node block, receiver-sorted. Same as ops.pallas_segment.
@@ -204,6 +206,11 @@ def _fel_fwd(e, sg, dg, mask, receivers, w_e, ws, bs, w_out, b_out,
 def _fel_bwd(num_nodes, activation, res, ct):
     (e, sg, dg, mask, receivers, w_e, ws, bs, w_out, b_out,
      ln_scale, ln_bias) = res
+    import os
+
+    if os.environ.get("AERO_GNN_FUSED_BWD", "1") == "1":
+        return _fused_bwd(e, sg, dg, mask, receivers, w_e, ws, bs, w_out,
+                          b_out, ln_scale, ln_bias, num_nodes, ct)
     _, vjp = jax.vjp(
         lambda *a: _equiv(*a, num_nodes=num_nodes),
         e, sg, dg, mask, receivers, w_e, ws, bs, w_out, b_out,
@@ -215,3 +222,181 @@ def _fel_bwd(num_nodes, activation, res, ct):
 
 
 fused_edge_layer.defvjp(_fel_fwd, _fel_bwd)
+
+
+# ---------------------------------------------------------------------------
+# fused backward kernel: recompute the chain in VMEM per tile and produce
+# input grads + weight-grad accumulators (VMEM-resident across the grid)
+# ---------------------------------------------------------------------------
+
+def _make_bwd_kernel(n_hidden: int):
+    def kernel(tile_block_ref, tile_first_ref,
+               recv_ref, e_ref, sg_ref, dg_ref, mask_ref,
+               w_e_ref, ws_ref, bs_ref, w_out_ref, b_out_ref,
+               ln_scale_ref, ln_bias_ref, ct_e_ref, ct_agg_ref,
+               de_out_ref, dsg_out_ref,
+               dwe_ref, dws_ref, dbs_ref, dwo_ref, dbo_ref,
+               dscale_ref, dbias_ref):
+        t = pl.program_id(0)
+
+        @pl.when(t == 0)
+        def _():
+            dwe_ref[:] = jnp.zeros_like(dwe_ref)
+            dws_ref[:] = jnp.zeros_like(dws_ref)
+            dbs_ref[:] = jnp.zeros_like(dbs_ref)
+            dwo_ref[:] = jnp.zeros_like(dwo_ref)
+            dbo_ref[:] = jnp.zeros_like(dbo_ref)
+            dscale_ref[:] = jnp.zeros_like(dscale_ref)
+            dbias_ref[:] = jnp.zeros_like(dbias_ref)
+
+        def mm(a, b, ta=False, tb=False):
+            dims = ((((0,) if ta else (1,)), ((1,) if tb else (0,))),
+                    ((), ()))
+            return jax.lax.dot_general(
+                a, b, dims, preferred_element_type=jnp.float32)
+
+        e = e_ref[:]
+        dt = e.dtype
+
+        # ---- recompute forward chain (activations stay in VMEM) ----
+        h0 = mm(e, w_e_ref[:]).astype(dt) + sg_ref[:] + dg_ref[:]
+        acts = [jnp.maximum(h0, 0)]
+        for i in range(n_hidden):
+            acts.append(jnp.maximum(
+                mm(acts[-1], ws_ref[i]).astype(dt) + bs_ref[i], 0))
+        d = mm(acts[-1], w_out_ref[:]).astype(dt) + b_out_ref[:]
+        d32 = d.astype(jnp.float32)
+        mu = jnp.mean(d32, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(d32 - mu), axis=-1, keepdims=True)
+        inv = jax.lax.rsqrt(var + LN_EPS)
+        xn = (d32 - mu) * inv
+
+        # ---- cotangent of e': direct + through the aggregation ----
+        base = tile_block_ref[t] * NB
+        local = recv_ref[:] - base
+        cols = jax.lax.broadcasted_iota(jnp.int32, (ET, NB), 1)
+        eq = jnp.where(local == cols, 1.0, 0.0)
+        onehot = (eq * mask_ref[:].astype(jnp.float32)).astype(dt)
+        # gather ct_agg rows for each edge: [ET, NB] @ [NB, h]
+        ct_total = ct_e_ref[:] + mm(onehot, ct_agg_ref[:]).astype(dt)
+
+        # ---- LayerNorm backward (f32) ----
+        ct32 = ct_total.astype(jnp.float32)
+        dscale_ref[:] += jnp.sum(ct32 * xn, axis=0, keepdims=True)
+        dbias_ref[:] += jnp.sum(ct32, axis=0, keepdims=True)
+        g = ct32 * ln_scale_ref[:].astype(jnp.float32)
+        d_d = (g - jnp.mean(g, axis=-1, keepdims=True)
+               - xn * jnp.mean(g * xn, axis=-1, keepdims=True)) * inv
+        d_d = d_d.astype(dt)
+
+        # ---- output linear ----
+        dwo_ref[:] += mm(acts[-1], d_d, ta=True)
+        dbo_ref[:] += jnp.sum(d_d.astype(jnp.float32), axis=0,
+                              keepdims=True)
+        dz = mm(d_d, w_out_ref[:], tb=True).astype(dt)
+        # relu mask in f32: Mosaic lacks bf16 vector comparisons
+        dz = dz * (acts[-1].astype(jnp.float32) > 0).astype(dt)
+
+        # ---- hidden stack (reverse) ----
+        for i in reversed(range(n_hidden)):
+            dws_ref[i] += mm(acts[i], dz, ta=True)
+            dbs_ref[i] += jnp.sum(dz.astype(jnp.float32), axis=0,
+                                  keepdims=True)
+            dz = mm(dz, ws_ref[i], tb=True).astype(dt)
+            dz = dz * (acts[i].astype(jnp.float32) > 0).astype(dt)
+
+        # dz is now d(h0)
+        dwe_ref[:] += mm(e, dz, ta=True)
+        d_e = ct_total + mm(dz, w_e_ref[:], tb=True).astype(dt)
+        de_out_ref[:] = d_e
+        dsg_out_ref[:] = dz  # == d_sg == d_dg
+
+    return kernel
+
+
+def _fused_bwd(e, sg, dg, mask, receivers, w_e, ws, bs, w_out, b_out,
+               ln_scale, ln_bias, num_nodes: int, ct):
+    ct_e, ct_agg = ct
+    n_tiles = receivers.shape[0] // ET
+    h = e.shape[1]
+    n_hidden = ws.shape[0]
+    tile_block, tile_first = derive_tiles(receivers)
+    recv2d = receivers.reshape(-1, 1)
+    mask2d = mask.reshape(-1, 1)
+
+    def tile_spec():
+        return pl.BlockSpec((ET, h), lambda t, tb, tf: (t, 0),
+                            memory_space=pltpu.VMEM)
+
+    def const_spec(shape):
+        nd = len(shape)
+        return pl.BlockSpec(shape, lambda t, tb, tf: (0,) * nd,
+                            memory_space=pltpu.VMEM)
+
+    nh = max(n_hidden, 1)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((ET, 1), lambda t, tb, tf: (t, 0),
+                         memory_space=pltpu.VMEM),  # recv
+            tile_spec(), tile_spec(), tile_spec(),  # e, sg, dg
+            pl.BlockSpec((ET, 1), lambda t, tb, tf: (t, 0),
+                         memory_space=pltpu.VMEM),  # mask
+            const_spec((h, h)),          # w_e
+            const_spec((nh, h, h)),      # ws
+            const_spec((nh, 1, h)),      # bs
+            const_spec((h, h)),          # w_out
+            const_spec((1, h)),          # b_out
+            const_spec((1, h)),          # ln_scale
+            const_spec((1, h)),          # ln_bias
+            tile_spec(),                 # ct_e
+            pl.BlockSpec((NB, h), lambda t, tb, tf: (tb[t], 0),
+                         memory_space=pltpu.VMEM),  # ct_agg
+        ],
+        out_specs=(
+            tile_spec(),                 # d_e
+            tile_spec(),                 # d_sg (== d_dg)
+            const_spec((h, h)),          # dW_e   (resident accumulators)
+            const_spec((nh, h, h)),      # dWs
+            const_spec((nh, 1, h)),      # dbs
+            const_spec((h, h)),          # dW_out
+            const_spec((1, h)),          # db_out
+            const_spec((1, h)),          # dscale
+            const_spec((1, h)),          # dbias
+        ),
+    )
+    ws_in = ws if n_hidden else jnp.zeros((1, h, h), e.dtype)
+    bs_in = (bs.reshape(n_hidden, 1, h) if n_hidden
+             else jnp.zeros((1, 1, h), e.dtype))
+    outs = pl.pallas_call(
+        _make_bwd_kernel(n_hidden),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct(e.shape, e.dtype),      # d_e
+            jax.ShapeDtypeStruct(e.shape, e.dtype),      # d_sg
+            jax.ShapeDtypeStruct((h, h), jnp.float32),
+            jax.ShapeDtypeStruct((nh, h, h), jnp.float32),
+            jax.ShapeDtypeStruct((nh, 1, h), jnp.float32),
+            jax.ShapeDtypeStruct((h, h), jnp.float32),
+            jax.ShapeDtypeStruct((1, h), jnp.float32),
+            jax.ShapeDtypeStruct((1, h), jnp.float32),
+            jax.ShapeDtypeStruct((1, h), jnp.float32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=3 * (2 * n_tiles * ET * h * h * (2 + n_hidden))
+            + 2 * n_tiles * ET * NB * h,
+            bytes_accessed=7 * e.size * e.dtype.itemsize,
+            transcendentals=0,
+        ),
+    )(tile_block, tile_first, recv2d, e, sg, dg, mask2d,
+      w_e, ws_in, bs_in, w_out, b_out.reshape(1, h),
+      ln_scale.reshape(1, h), ln_bias.reshape(1, h), ct_e, ct_agg)
+    (d_e, d_sg, dwe, dws, dbs, dwo, dbo, dscale, dbias) = outs
+    dws_out = dws[:n_hidden].astype(ws.dtype)
+    dbs_out = dbs[:n_hidden, 0].astype(bs.dtype) if n_hidden \
+        else jnp.zeros_like(bs)
+    return (d_e, d_sg, d_sg, None, None,
+            dwe.astype(w_e.dtype), dws_out, dbs_out,
+            dwo.astype(w_out.dtype), dbo[0].astype(b_out.dtype),
+            dscale[0].astype(ln_scale.dtype), dbias[0].astype(ln_bias.dtype))
