@@ -180,14 +180,19 @@ class AeroInference:
                                      f"prediction_case_{i:03d}.png"),
                         case_name)
                 else:
-                    from aero_gnn_tpu.data.vtk_writer import (
-                        export_predictions_vtu)
                     name = sample.meta.get("case_no", f"case_{i:03d}")
-                    export_predictions_vtu(
-                        os.path.join(vtu_dir, f"{name}_predictions.vtu"),
-                        points=sample.pos, senders=sample.senders,
-                        receivers=sample.receivers,
-                        feature_names=target_features, pred=pp, target=tp)
+                    out_path = os.path.join(vtu_dir,
+                                            f"{name}_predictions.vtu")
+                    if not self._export_on_source_mesh(
+                            sample, pp, tp, target_features, out_path):
+                        from aero_gnn_tpu.data.vtk_writer import (
+                            export_predictions_vtu)
+                        export_predictions_vtu(
+                            out_path, points=sample.pos,
+                            senders=sample.senders,
+                            receivers=sample.receivers,
+                            feature_names=target_features, pred=pp,
+                            target=tp)
 
         pp_all = np.concatenate(cat_pp)
         tp_all = np.concatenate(cat_tp)
@@ -201,6 +206,36 @@ class AeroInference:
             all_case, mean_phys, mean_norm, target_features, dataset_name)
         log_fn(f"Inference complete! Results saved to: {inference_dir}")
         return inference_dir
+
+    def _export_on_source_mesh(self, sample: MeshSample, pred, target,
+                               feature_names, out_path: str) -> bool:
+        """Attach predicted_/true_/error_ point arrays to the ORIGINAL
+        surface mesh when the source file is known (the reference's VTU
+        export contract, inference.py:196-208); False -> caller falls back
+        to the line-graph export."""
+        data_dir = self.exp_params.get("dataset", {}).get("data_dir")
+        split = sample.meta.get("split")
+        case_no = sample.meta.get("case_no")
+        if None in (data_dir, split, case_no):
+            return False
+        src = os.path.join(str(data_dir), str(split), f"{case_no}.vtp")
+        if not os.path.exists(src):
+            return False
+        from aero_gnn_tpu.data.vtk_core import read_any
+        from aero_gnn_tpu.data.vtk_geometry import extract_surface
+        from aero_gnn_tpu.data.vtk_writer import write_vtu
+
+        mesh = extract_surface(read_any(src))
+        if mesh.num_points != pred.shape[0]:
+            return False
+        pdata = {}
+        for j, name in enumerate(feature_names):
+            pdata[f"predicted_{name}"] = pred[:, j]
+            pdata[f"true_{name}"] = target[:, j]
+            pdata[f"error_{name}"] = pred[:, j] - target[:, j]
+        mesh.point_data = pdata
+        write_vtu(out_path, mesh)
+        return True
 
     def _ahmed_coefficients(self, sample: MeshSample, pred_phys, target_phys
                             ) -> Optional[Dict[str, float]]:

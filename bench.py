@@ -169,11 +169,18 @@ def main():
         return params, opt_state, train_k, fwd_k
 
     # --- baseline: reference-style full-concat EdgeBlock on plain XLA ---
-    with ops.use_backend("xla"):
-        p0, o0, step0, _ = build(do_concat_trick=False)
-        t_base = time_scan_fn(step0, (p0, o0, graph_base), rtt, iters=ITERS)
-    log(f"baseline (full-concat EdgeBlock, XLA): {t_base*1e3:.2f} ms/step "
-        f"-> {n_edges/t_base:,.0f} edges/s")
+    # (BENCH_SKIP_BASELINE=1 for mesh sizes where the naive formulation
+    # does not fit HBM at all — the 262k-node mesh OOMs the baseline)
+    if os.environ.get("BENCH_SKIP_BASELINE"):
+        t_base = None
+        log("baseline skipped (BENCH_SKIP_BASELINE)")
+    else:
+        with ops.use_backend("xla"):
+            p0, o0, step0, _ = build(do_concat_trick=False)
+            t_base = time_scan_fn(step0, (p0, o0, graph_base), rtt,
+                                  iters=ITERS)
+        log(f"baseline (full-concat EdgeBlock, XLA): {t_base*1e3:.2f} "
+            f"ms/step -> {n_edges/t_base:,.0f} edges/s")
 
     # --- optimized path ---
     backend = os.environ.get("AERO_GNN_OPS_BACKEND", "pallas")
@@ -192,7 +199,7 @@ def main():
         "metric": "edges_per_s_per_chip",
         "value": round(n_edges / t_opt, 1),
         "unit": "edges/s",
-        "vs_baseline": round(t_base / t_opt, 4),
+        "vs_baseline": round(t_base / t_opt, 4) if t_base else None,
     }), flush=True)
 
 
