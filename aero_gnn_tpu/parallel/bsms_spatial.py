@@ -1,0 +1,280 @@
+"""Spatially partitioned BSMS (multi-scale U-Net) training/inference.
+
+BASELINE config[4]: "bsms_mgn on large edge-partitioned mesh, multi-host
+halo exchange". Partition strategy:
+
+  * the FINE level (the big one — most nodes, most edges, the down/up
+    stacks) is edge-partitioned exactly like parallel.spatial: Morton node
+    shards, receiver-owned edges, per-layer all_gather halo of projected
+    sender features;
+  * coarse levels are REPLICATED: the fine->coarse transfer is a local
+    masked segment partial-sum into the full coarse index space followed
+    by one psum (sum and count), after which every shard holds identical
+    coarse features and runs the (much smaller) bottleneck identically;
+  * unpooling is then a local gather of the replicated coarse features.
+
+This trades bottleneck replication for simplicity — the bottleneck runs
+on a mesh 1/stride^s the size, so for moderate shard counts the sharded
+fine level dominates. Fully sharded coarse levels are the next step.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from aero_gnn_tpu.graph import hierarchy as H
+from aero_gnn_tpu.graph.padded import _round_up, sort_edges_by_receiver
+from aero_gnn_tpu.models.mgn import run_processor
+from aero_gnn_tpu.nn import mlp as M
+from aero_gnn_tpu.parallel.spatial import (
+    SpatialGraph,
+    _morton_order,
+    _spatial_layer,
+    partition_graph,
+)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class BSMSSpatialGraph:
+    """Fine level sharded ([P, ...]), coarse structure replicated."""
+
+    fine: SpatialGraph
+    # fine -> level-1 transfer, in SHARD-LOCAL fine order ([P, Nl]/[P, El])
+    fine_to_coarse: jax.Array  # i32[P, Nl] global coarse node ids
+    edge_to_coarse: jax.Array  # i32[P, El] global coarse edge ids
+    # replicated coarse levels (standard padded arrays, same on all shards)
+    coarse_senders: Tuple[jax.Array, ...]
+    coarse_receivers: Tuple[jax.Array, ...]
+    coarse_edge_mask: Tuple[jax.Array, ...]
+    coarse_node_mask: Tuple[jax.Array, ...]
+    # transitions between coarse levels s -> s+1 (replicated)
+    coarse_f2c: Tuple[jax.Array, ...]
+    coarse_e2c: Tuple[jax.Array, ...]
+
+
+def partition_bsms(
+    *,
+    senders: np.ndarray,
+    receivers: np.ndarray,
+    x: np.ndarray,
+    edge_attr: np.ndarray,
+    pos: np.ndarray,
+    y: Optional[np.ndarray],
+    num_parts: int,
+    num_scales: int,
+    mode: str = "stride",
+    stride: int = 2,
+    edges_pad_multiple: int = 128,
+) -> BSMSSpatialGraph:
+    levels = H.build_hierarchy_real(
+        senders=senders, receivers=receivers,
+        node_graph=np.zeros(x.shape[0], np.int64), num_nodes=x.shape[0],
+        pos=pos.astype(np.float64), num_scales=num_scales, mode=mode,
+        stride=stride)
+
+    fine = partition_graph(
+        senders=senders, receivers=receivers, x=x, edge_attr=edge_attr,
+        pos=pos, y=y, num_parts=num_parts,
+        edges_pad_multiple=edges_pad_multiple)
+
+    n = x.shape[0]
+    order = _morton_order(pos)
+    n_local = fine.nodes_per_part
+    el = fine.senders_global.shape[1]
+
+    # hierarchy level-0 arrays are in receiver-sorted GLOBAL edge order;
+    # map them into each shard's local edge order
+    lvl0 = levels[0]
+    perm0 = sort_edges_by_receiver(senders, receivers)
+    g_send = senders[perm0]
+    g_recv = receivers[perm0]
+    # key the global sorted edges for lookup: (recv, send) -> hierarchy row
+    row_of = {}
+    for i in range(len(g_send)):
+        row_of[(int(g_recv[i]), int(g_send[i]))] = i
+
+    nc1 = _round_up(lvl0["num_nodes"] + 1, 128)
+    ec1 = _round_up(max(lvl0["num_edges"], 1), 128)
+
+    f2c = np.full((num_parts, n_local), nc1 - 1, dtype=np.int32)
+    e2c = np.full((num_parts, el), ec1 - 1, dtype=np.int32)
+    new_of_old = np.full(n, -1, dtype=np.int64)
+    for p in range(num_parts):
+        chunk = order[p * n_local:(p + 1) * n_local]
+        new_of_old[chunk] = p * n_local + np.arange(len(chunk))
+        f2c[p, : len(chunk)] = lvl0["fine_to_coarse"][chunk]
+    old_of_new = np.full(num_parts * n_local, -1, dtype=np.int64)
+    for p in range(num_parts):
+        chunk = order[p * n_local:(p + 1) * n_local]
+        old_of_new[p * n_local: p * n_local + len(chunk)] = chunk
+    sg = np.asarray(fine.senders_global)
+    rl = np.asarray(fine.receivers_local)
+    em = np.asarray(fine.edge_mask)
+    for p in range(num_parts):
+        for i in range(el):
+            if em[p, i] == 0:
+                continue
+            old_s = int(old_of_new[int(sg[p, i])])
+            old_r = int(old_of_new[p * n_local + int(rl[p, i])])
+            e2c[p, i] = lvl0["edge_to_coarse"][row_of[(old_r, old_s)]]
+
+    # replicated coarse-level arrays (levels 1..S-1 graphs + transitions)
+    cs, cr, cem, cnm, cf2c, ce2c = [], [], [], [], [], []
+    for s, lvl in enumerate(levels):
+        nc = _round_up(lvl["num_nodes"] + 1, 128)
+        ec = _round_up(max(lvl["num_edges"], 1), 128)
+        s_p = np.full(ec, nc - 1, np.int32)
+        r_p = np.full(ec, nc - 1, np.int32)
+        s_p[: lvl["num_edges"]] = lvl["senders"]
+        r_p[: lvl["num_edges"]] = lvl["receivers"]
+        m = np.zeros(ec, np.float32)
+        m[: lvl["num_edges"]] = 1.0
+        nm = np.zeros(nc, np.float32)
+        nm[: lvl["num_nodes"]] = 1.0
+        cs.append(jnp.asarray(s_p))
+        cr.append(jnp.asarray(r_p))
+        cem.append(jnp.asarray(m))
+        cnm.append(jnp.asarray(nm))
+        if s + 1 < len(levels):
+            nxt = levels[s + 1]
+            nc2 = _round_up(nxt["num_nodes"] + 1, 128)
+            ec2 = _round_up(max(nxt["num_edges"], 1), 128)
+            f = np.full(nc, nc2 - 1, np.int32)
+            f[: lvl["num_nodes"]] = nxt["fine_to_coarse"]
+            e = np.full(ec, ec2 - 1, np.int32)
+            e[: lvl["num_edges"]] = nxt["edge_to_coarse"]
+            cf2c.append(jnp.asarray(f))
+            ce2c.append(jnp.asarray(e))
+
+    return BSMSSpatialGraph(
+        fine=fine,
+        fine_to_coarse=jnp.asarray(f2c), edge_to_coarse=jnp.asarray(e2c),
+        coarse_senders=tuple(cs), coarse_receivers=tuple(cr),
+        coarse_edge_mask=tuple(cem), coarse_node_mask=tuple(cnm),
+        coarse_f2c=tuple(cf2c), coarse_e2c=tuple(ce2c),
+    )
+
+
+def _psum_segment_mean(vals, mask, ids, num_segments, axis):
+    """Cross-shard segment mean: local masked partials + one psum."""
+    w = mask.astype(vals.dtype)
+    s = jax.ops.segment_sum(vals * w[:, None], ids,
+                            num_segments=num_segments)
+    c = jax.ops.segment_sum(w, ids, num_segments=num_segments)
+    s = jax.lax.psum(s, axis)
+    c = jax.lax.psum(c, axis)
+    return s / jnp.maximum(c, 1.0)[:, None]
+
+
+def _replicated_segment_mean(vals, mask, ids, num_segments):
+    w = mask.astype(vals.dtype)
+    s = jax.ops.segment_sum(vals * w[:, None], ids,
+                            num_segments=num_segments)
+    c = jax.ops.segment_sum(w, ids, num_segments=num_segments)
+    return s / jnp.maximum(c, 1.0)[:, None]
+
+
+def bsms_spatial_forward(params, cfg, bg: BSMSSpatialGraph, *,
+                         axis: str = "graph") -> jax.Array:
+    """Per-shard BSMS forward (inside shard_map). Uses BSMSConfig params."""
+    fine = bg.fine
+    x = M.mlp_apply(params["node_encoder"], fine.x,
+                    activation=cfg.activation)
+    e = M.mlp_apply(params["edge_encoder"], fine.edge_attr,
+                    activation=cfg.activation)
+    layer_cfg = cfg.layer_cfg
+    n_levels = len(bg.coarse_senders)
+
+    def fine_stack(stacked, x, e):
+        def body(carry, lp):
+            x, e = carry
+            x, e = _spatial_layer(lp, layer_cfg, x, e, fine.senders_global,
+                                  fine.receivers_local, fine.edge_mask, axis)
+            return (x, e), None
+        (x, e), _ = jax.lax.scan(body, (x, e), stacked)
+        return x, e
+
+    def coarse_stack(stacked, x, e, s):
+        return run_processor(
+            stacked, layer_cfg, x, e, bg.coarse_senders[s],
+            bg.coarse_receivers[s], bg.coarse_edge_mask[s], remat=False)
+
+    # ---- down path ----
+    skips = []
+    x, e = fine_stack(params["down"][0], x, e)
+    skip_fine = (x, e)
+    nc1 = bg.coarse_node_mask[0].shape[0]
+    ec1 = bg.coarse_edge_mask[0].shape[0]
+    xc = _psum_segment_mean(x, fine.node_mask, bg.fine_to_coarse, nc1, axis)
+    ec_feat = _psum_segment_mean(e, fine.edge_mask, bg.edge_to_coarse,
+                                 ec1, axis)
+    x, e = xc, ec_feat
+    for s in range(1, n_levels):
+        x, e = coarse_stack(params["down"][s], x, e, s - 1)
+        skips.append((x, e))
+        nc = bg.coarse_node_mask[s].shape[0]
+        ec = bg.coarse_edge_mask[s].shape[0]
+        x = _replicated_segment_mean(x, bg.coarse_node_mask[s - 1],
+                                     bg.coarse_f2c[s - 1], nc)
+        e = _replicated_segment_mean(e, bg.coarse_edge_mask[s - 1],
+                                     bg.coarse_e2c[s - 1], ec)
+
+    # ---- bottleneck (replicated) ----
+    x, e = coarse_stack(params["bottleneck"], x, e, n_levels - 1)
+
+    # ---- up path ----
+    for i in range(n_levels - 1):
+        s = n_levels - 1 - i
+        skip_x, skip_e = skips[-(i + 1)]
+        x = x.at[bg.coarse_f2c[s - 1]].get(mode="promise_in_bounds") + skip_x
+        e = skip_e
+        x, e = coarse_stack(params["up"][i], x, e, s - 1)
+    # coarse level 1 -> fine
+    sx, se = skip_fine
+    x = x.at[bg.fine_to_coarse].get(mode="promise_in_bounds") + sx
+    e = se
+    x, e = fine_stack(params["up"][n_levels - 1], x, e)
+
+    return M.mlp_apply(params["decoder"], x, activation=cfg.activation)
+
+
+def make_bsms_spatial_forward(model_cfg, mesh: Mesh, *,
+                              axis: str = "graph"):
+    def per_shard(params, bg):
+        local = jax.tree.map(lambda a: a[0], bg.fine)
+        bg_l = dataclasses.replace(
+            bg, fine=local,
+            fine_to_coarse=bg.fine_to_coarse[0],
+            edge_to_coarse=bg.edge_to_coarse[0])
+        return bsms_spatial_forward(params, model_cfg, bg_l, axis=axis)[None]
+
+    def in_spec_for(bg):
+        return BSMSSpatialGraph(
+            fine=jax.tree.map(lambda _: P(axis), bg.fine),
+            fine_to_coarse=P(axis), edge_to_coarse=P(axis),
+            coarse_senders=jax.tree.map(lambda _: P(), bg.coarse_senders),
+            coarse_receivers=jax.tree.map(lambda _: P(),
+                                          bg.coarse_receivers),
+            coarse_edge_mask=jax.tree.map(lambda _: P(),
+                                          bg.coarse_edge_mask),
+            coarse_node_mask=jax.tree.map(lambda _: P(),
+                                          bg.coarse_node_mask),
+            coarse_f2c=jax.tree.map(lambda _: P(), bg.coarse_f2c),
+            coarse_e2c=jax.tree.map(lambda _: P(), bg.coarse_e2c),
+        )
+
+    def run(params, bg):
+        fwd = shard_map(per_shard, mesh=mesh,
+                        in_specs=(P(), in_spec_for(bg)),
+                        out_specs=P(axis), check_vma=False)
+        return jax.jit(fwd)(params, bg)
+
+    return run

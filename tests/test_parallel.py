@@ -257,3 +257,48 @@ class TestSpatialModelVariants:
             chunk = order[p * n_local:(p + 1) * n_local]
             got[chunk] = out[p, :len(chunk)]
         np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+
+class TestBSMSSpatial:
+    def test_bsms_partitioned_forward_equals_single_device(self):
+        """BASELINE config[4]: BSMS on an edge-partitioned mesh. Fine level
+        sharded with halo exchange, coarse levels replicated — must equal
+        the single-device BSMS forward."""
+        from aero_gnn_tpu.models.bsms import BSMSConfig
+        from aero_gnn_tpu.graph.hierarchy import build_hierarchy
+        from aero_gnn_tpu.parallel import bsms_spatial as BS
+
+        cfg = BSMSConfig(**TINY, do_concat_trick=True, num_scales=3,
+                         layers_per_scale=1, stride=2)
+        params = cfg.init(jax.random.PRNGKey(31))
+        s = make_random_mesh_sample(n_nodes=256, seed=9)
+        D.compute_features([s], ["mach", "alpha"])
+
+        # single-device reference
+        gb = padded.build_graph_batch(
+            senders=s.senders, receivers=s.receivers, x=s.x,
+            edge_attr=s.edge_attr, pos=s.pos, y=s.y)
+        levels = tuple(build_hierarchy(
+            senders=s.senders, receivers=s.receivers,
+            node_graph=np.zeros(s.num_nodes, np.int64),
+            num_nodes=s.num_nodes, pos=s.pos.astype(np.float64),
+            num_scales=3, mode="stride", stride=2,
+            num_fine_nodes_pad=gb.num_nodes_pad,
+            num_fine_edges_pad=gb.num_edges_pad))
+        ref = np.asarray(cfg.apply(params, gb, hierarchy=levels))[:256]
+
+        mesh = make_mesh(data=1, graph=8)
+        bg = BS.partition_bsms(
+            senders=s.senders, receivers=s.receivers, x=s.x,
+            edge_attr=s.edge_attr, pos=s.pos, y=s.y, num_parts=8,
+            num_scales=3, stride=2)
+        run = BS.make_bsms_spatial_forward(cfg, mesh)
+        out = np.asarray(run(params, bg))
+
+        order = SP._morton_order(s.pos)
+        n_local = bg.fine.nodes_per_part
+        got = np.zeros_like(ref)
+        for p in range(8):
+            chunk = order[p * n_local:(p + 1) * n_local]
+            got[chunk] = out[p, :len(chunk)]
+        np.testing.assert_allclose(got, ref, rtol=3e-4, atol=3e-4)
