@@ -120,33 +120,41 @@ def make_airfoil_dataset(*, n_cases: int = 24, n_points: int = 256,
 def make_random_mesh_sample(*, n_nodes: int, avg_degree: int = 6,
                             seed: int = 0, dy: int = 4,
                             dtype=np.float32) -> MeshSample:
-    """Irregular Delaunay-free random planar-ish mesh for benchmarks: k-NN
-    graph over random points, symmetrized. Degree distribution is mesh-like."""
+    """Irregular random planar-ish mesh for benchmarks: k-NN graph over
+    random points, symmetrized. Degree distribution is mesh-like."""
     rng = np.random.default_rng(seed)
     pos = rng.random((n_nodes, 2))
     k = max(2, avg_degree // 2)
-    # grid-hash kNN (O(N k)) to avoid scipy dependency
-    cell = 1.0 / max(1, int(np.sqrt(n_nodes / 4)))
-    grid = {}
-    ij = np.floor(pos / cell).astype(np.int64)
-    for i, key in enumerate(map(tuple, ij)):
-        grid.setdefault(key, []).append(i)
-    send, recv = [], []
-    for i in range(n_nodes):
-        ci, cj = ij[i]
-        cand = []
-        for di in (-1, 0, 1):
-            for dj in (-1, 0, 1):
-                cand.extend(grid.get((ci + di, cj + dj), ()))
-        cand = np.asarray([c for c in cand if c != i])
-        if len(cand) == 0:
-            cand = np.asarray([(i + 1) % n_nodes])
-        d = np.linalg.norm(pos[cand] - pos[i], axis=1)
-        nbr = cand[np.argsort(d)[:k]]
-        for j in nbr:
-            send.append(i), recv.append(int(j))
-    senders = np.asarray(send + recv, dtype=np.int64)
-    receivers = np.asarray(recv + send, dtype=np.int64)
+    try:
+        from scipy.spatial import cKDTree
+
+        _, nbr = cKDTree(pos).query(pos, k=k + 1)
+        nbr = nbr[:, 1:]  # drop self
+        send = np.repeat(np.arange(n_nodes, dtype=np.int64), k)
+        recv = nbr.reshape(-1).astype(np.int64)
+    except ImportError:  # grid-hash fallback, O(N k) python
+        cell = 1.0 / max(1, int(np.sqrt(n_nodes / 4)))
+        grid = {}
+        ij = np.floor(pos / cell).astype(np.int64)
+        for i, key in enumerate(map(tuple, ij)):
+            grid.setdefault(key, []).append(i)
+        send_l, recv_l = [], []
+        for i in range(n_nodes):
+            ci, cj = ij[i]
+            cand = []
+            for di in (-1, 0, 1):
+                for dj in (-1, 0, 1):
+                    cand.extend(grid.get((ci + di, cj + dj), ()))
+            cand = np.asarray([c for c in cand if c != i])
+            if len(cand) == 0:
+                cand = np.asarray([(i + 1) % n_nodes])
+            d = np.linalg.norm(pos[cand] - pos[i], axis=1)
+            for j in cand[np.argsort(d)[:k]]:
+                send_l.append(i), recv_l.append(int(j))
+        send = np.asarray(send_l, dtype=np.int64)
+        recv = np.asarray(recv_l, dtype=np.int64)
+    senders = np.concatenate([send, recv])
+    receivers = np.concatenate([recv, send])
     # dedup directed pairs
     keys = senders * n_nodes + receivers
     _, uniq = np.unique(keys, return_index=True)
