@@ -22,6 +22,7 @@ Conventions (load-bearing — kernels and models rely on them):
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Any, Optional
 
 import jax
@@ -35,10 +36,16 @@ def _round_up(x: int, m: int) -> int:
 
 # Pallas aggregation-kernel tiling (ops.pallas_segment): nodes are grouped
 # in ALIGN_NODE_BLOCK-row output blocks, each block's edges padded to whole
-# ALIGN_EDGE_TILE-row tiles. Large blocks amortize the per-grid-step
-# overhead; the one-hot matmul FLOPs they add ride the idle MXU.
-ALIGN_NODE_BLOCK = 512
-ALIGN_EDGE_TILE = 1024
+# ALIGN_EDGE_TILE-row tiles. Larger blocks amortize the per-grid-step
+# overhead but the one-hot matmuls cost NB*h FLOPs *per edge* (in-kernel
+# gather + aggregate), so smaller blocks cut MXU work — until edge-tile
+# padding waste dominates (blocks own whole ET-row tiles: NB=128/ET=1024
+# wastes ~54% of edge rows on a degree-4 mesh and is 2.5x slower).
+# NB=256/ET=1024 measured best on v5e (see BASELINE.md sweep).
+# Env-overridable for tuning; must be set before first import and match
+# the layout graphs were built with.
+ALIGN_NODE_BLOCK = int(os.environ.get("AERO_GNN_NB", 256))
+ALIGN_EDGE_TILE = int(os.environ.get("AERO_GNN_ET", 1024))
 
 
 def bucket_size(n: int, multiple: int = 128, growth: float = 1.3) -> int:

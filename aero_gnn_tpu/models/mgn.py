@@ -45,6 +45,11 @@ class MGNConfig:
     # [E, h]-sized and 15 layers of them blow HBM on big meshes; remat
     # trades ~1/3 extra FLOPs for O(1)-in-depth activation memory.
     remat: bool = True
+    # "save_fused" keeps the fused-kernel boundary tensors (sg/d_proj/agg)
+    # so the backward pass never re-runs the fused forward kernel or the
+    # sender gather (~1 [E,h] + 2 [N,h] extra per layer); "full" is classic
+    # minimal-memory remat for meshes near the HBM limit.
+    remat_policy: str = "save_fused"
     # Compute dtype for the processor ("float32" | "bfloat16"). The MP stack
     # is HBM-bandwidth-bound ([E,h] activations dominate traffic), so bf16
     # activations+weights nearly double throughput; params stay fp32 (master
@@ -127,6 +132,7 @@ class MGNConfig:
             sender_perm=graph.sender_perm,
             senders_sorted=graph.senders_sorted,
             remat=self.remat,
+            remat_policy=self.remat_policy,
         )
         if self.separate_decoders:
             out = jnp.concatenate(
@@ -142,8 +148,22 @@ def run_processor(stacked_layers, layer_cfg: B.MGNLayerConfig,
                   x: jax.Array, e: jax.Array,
                   senders: jax.Array, receivers: jax.Array,
                   edge_mask: jax.Array, *, sender_perm=None,
-                  senders_sorted=None, remat: bool = True):
-    """Scan the residual MP layer over stacked per-layer params."""
+                  senders_sorted=None, remat: bool = True,
+                  remat_policy: str = "save_fused"):
+    """Scan the residual MP layer over stacked per-layer params.
+
+    ``remat_policy`` (only with ``remat=True``):
+      * ``"save_fused"`` — save the tensors that cross the fused-edge-kernel
+        boundary (sg / d_proj / agg, tagged in blocks._mgn_layer_fused).
+        The fused backward kernel only consumes the layer's *inputs* (the
+        scan carry, which is saved anyway) plus sg/d_proj, and the node
+        backward needs agg — so the remat recompute drops the whole fused
+        forward kernel and the sender gather, at ~sg-sized extra memory per
+        layer. On the unfused paths no tensor carries these names, so the
+        policy degrades to full remat.
+      * ``"full"`` — classic full-layer remat (recompute everything);
+        minimum memory, for meshes near the HBM limit.
+    """
 
     def body(carry, layer_params):
         x, e = carry
@@ -153,7 +173,12 @@ def run_processor(stacked_layers, layer_cfg: B.MGNLayerConfig,
         return (x, e), None
 
     if remat:
-        body = jax.checkpoint(body)
+        if remat_policy == "save_fused":
+            policy = jax.checkpoint_policies.save_only_these_names(
+                "mgn_sg", "mgn_dproj", "mgn_agg")
+            body = jax.checkpoint(body, policy=policy)
+        else:
+            body = jax.checkpoint(body)
     (x, e), _ = jax.lax.scan(body, (x, e), stacked_layers)
     return x, e
 

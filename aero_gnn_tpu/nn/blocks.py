@@ -204,16 +204,20 @@ def _fused_layer_ok(cfg: MGNLayerConfig, node_attr, receivers,
 def _mgn_layer_fused(params, cfg: MGNLayerConfig, node_attr, edge_attr,
                      senders, receivers, edge_mask, sender_perm,
                      senders_sorted):
-    """Pallas fused path: whole edge-MLP chain + residual + aggregation in
-    one kernel (ops.pallas_fused); node update stays on XLA."""
+    """Pallas fused path: whole edge-MLP chain + residual + receiver-side
+    gather + aggregation in one kernel (ops.pallas_fused); node update
+    stays on XLA. Only the sender-side gather materializes [E, h]."""
     from aero_gnn_tpu import ops
     from aero_gnn_tpu.ops.pallas_fused import fused_edge_layer
 
+    from jax.ad_checkpoint import checkpoint_name
+
     p = params["edge"]
     s_proj = node_attr @ p["w_s"]
-    d_proj = node_attr @ p["w_d"] + p["b"]
-    sg = ops.gather_senders(s_proj, senders, sender_perm, senders_sorted)
-    dg = ops.gather_receivers(d_proj, receivers)
+    d_proj = checkpoint_name(node_attr @ p["w_d"] + p["b"], "mgn_dproj")
+    sg = checkpoint_name(
+        ops.gather_senders(s_proj, senders, sender_perm, senders_sorted),
+        "mgn_sg")
     ws = (jnp.stack([s["w"] for s in p["stack"][:-1]])
           if len(p["stack"]) > 1
           else jnp.zeros((0, s_proj.shape[1], s_proj.shape[1]),
@@ -222,10 +226,11 @@ def _mgn_layer_fused(params, cfg: MGNLayerConfig, node_attr, edge_attr,
           if len(p["stack"]) > 1
           else jnp.zeros((0, s_proj.shape[1]), s_proj.dtype))
     edge_attr, agg = fused_edge_layer(
-        edge_attr, sg, dg, edge_mask, receivers,
+        edge_attr, sg, d_proj, edge_mask, receivers,
         p["w_e"], ws, bs, p["stack"][-1]["w"], p["stack"][-1]["b"],
         p["ln"]["scale"], p["ln"]["bias"],
         node_attr.shape[0], cfg.edge_sum_activation)
+    agg = checkpoint_name(agg, "mgn_agg")
     if cfg.aggregation == "mean":
         deg = ops.degree(receivers, node_attr.shape[0], mask=edge_mask,
                          dtype=agg.dtype)

@@ -4,21 +4,32 @@ One pass over edge tiles computes the ENTIRE concat-trick edge update plus
 the destination aggregation without materializing any [E, h] intermediate
 in HBM:
 
-    h0 = e @ W_e + sg + dg          (sg/dg = pre-gathered projections)
+    dg = onehot(recv) @ d_proj_block (in-kernel receiver gather, masked)
+    h0 = e @ W_e + sg + dg          (sg = pre-gathered sender projections)
     z  = act(h0); z = act(z @ W_i + b_i) ...      (hidden stack)
     de = z @ W_out + b_out;  de = LayerNorm(de)
     e' = e + de
     agg[dst] += e' * mask           (one-hot MXU accumulation per block)
 
-vs the unfused XLA path this saves ~4 [E, h] HBM round-trips per layer
-(h0/z1/z2/de) plus the aggregation's input re-read. Weights live in VMEM
-across the whole grid (constant index maps).
+vs the unfused XLA path this saves ~6 [E, h] HBM round-trips per layer
+(dg/h0/z1/z2/de plus the aggregation's input re-read): the receiver-side
+gather never touches HBM — its one-hot matrix is shared with the
+aggregation and its operand is the [NB, h] projection block that Pallas
+keeps resident while consecutive tiles target the same node block. Weights
+live in VMEM across the whole grid (constant index maps).
 
 Backward (custom VJP): a matching fused backward kernel recomputes the
 chain per tile in VMEM and produces the input gradients plus weight-grad
 accumulators that stay VMEM-resident across the entire grid (constant
-output index maps, written back once). Set AERO_GNN_FUSED_BWD=0 to fall
-back to autodiff through the jnp-equivalent composition.
+output index maps, written back once). The d_proj gradient is accumulated
+per node block in-kernel (the transpose of the in-kernel gather), so the
+receiver-side backward also never materializes an [E, h] cotangent. Set
+AERO_GNN_FUSED_BWD=0 to fall back to autodiff through the jnp-equivalent
+composition.
+
+Masking contract: the receiver gather is masked (pad edges read zeros, not
+the pad node's row) — pad-edge rows of e' carry masked-gather garbage
+either way and are never observable (every consumer masks by edge_mask).
 
 Layout contract: block-aligned edges (graph.padded align_edges) — ET-row
 tiles per NB-node block, receiver-sorted. Same as ops.pallas_segment.
@@ -48,7 +59,7 @@ def _make_kernel(n_hidden: int, activation: str):
                          "hardcodes ReLU in EdgeBlockSum)")
 
     def kernel(tile_block_ref, tile_first_ref,
-               recv_ref, e_ref, sg_ref, dg_ref, mask_ref,
+               recv_ref, e_ref, sg_ref, dproj_ref, mask_ref,
                w_e_ref, ws_ref, bs_ref, w_out_ref, b_out_ref,
                ln_scale_ref, ln_bias_ref,
                e_out_ref, agg_ref):
@@ -59,10 +70,24 @@ def _make_kernel(n_hidden: int, activation: str):
             agg_ref[:] = jnp.zeros_like(agg_ref)
 
         e = e_ref[:]
+
+        # shared masked one-hot: rows=edges, cols=local node ids
+        base = tile_block_ref[t] * NB
+        local = recv_ref[:] - base
+        cols = jax.lax.broadcasted_iota(jnp.int32, (ET, NB), 1)
+        eq = jnp.where(local == cols, 1.0, 0.0)
+        onehot = (eq * mask_ref[:].astype(jnp.float32)).astype(e.dtype)
+
+        # in-kernel receiver gather: [ET, NB] @ [NB, h]
+        dg = jax.lax.dot_general(
+            onehot, dproj_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(e.dtype)
+
         h0 = jax.lax.dot_general(
             e, w_e_ref[:], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ).astype(e.dtype) + sg_ref[:] + dg_ref[:]
+        ).astype(e.dtype) + sg_ref[:] + dg
         z = jnp.maximum(h0, 0)
         for i in range(n_hidden):
             z = jnp.maximum(
@@ -87,11 +112,6 @@ def _make_kernel(n_hidden: int, activation: str):
         e_out_ref[:] = e_new
 
         # masked one-hot aggregation into the resident output block
-        base = tile_block_ref[t] * NB
-        local = recv_ref[:] - base
-        cols = jax.lax.broadcasted_iota(jnp.int32, (ET, NB), 1)
-        eq = jnp.where(local == cols, 1.0, 0.0)
-        onehot = (eq * mask_ref[:].astype(jnp.float32)).astype(e.dtype)
         agg_ref[:] += jax.lax.dot_general(
             onehot, e_new, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -100,7 +120,7 @@ def _make_kernel(n_hidden: int, activation: str):
     return kernel
 
 
-def _fused_fwd(e, sg, dg, mask, receivers, w_e, ws, bs, w_out, b_out,
+def _fused_fwd(e, sg, d_proj, mask, receivers, w_e, ws, bs, w_out, b_out,
                ln_scale, ln_bias, num_nodes: int, activation: str):
     n_tiles = receivers.shape[0] // ET
     h = e.shape[1]
@@ -111,6 +131,10 @@ def _fused_fwd(e, sg, dg, mask, receivers, w_e, ws, bs, w_out, b_out,
 
     def tile_spec():
         return pl.BlockSpec((ET, h), lambda t, tb, tf: (t, 0),
+                            memory_space=pltpu.VMEM)
+
+    def block_spec():
+        return pl.BlockSpec((NB, h), lambda t, tb, tf: (tb[t], 0),
                             memory_space=pltpu.VMEM)
 
     def const_spec(shape):
@@ -126,7 +150,7 @@ def _fused_fwd(e, sg, dg, mask, receivers, w_e, ws, bs, w_out, b_out,
                          memory_space=pltpu.VMEM),  # recv
             tile_spec(),  # e
             tile_spec(),  # sg
-            tile_spec(),  # dg
+            block_spec(),  # d_proj (node block)
             pl.BlockSpec((ET, 1), lambda t, tb, tf: (t, 0),
                          memory_space=pltpu.VMEM),  # mask
             const_spec((h, h)),  # w_e
@@ -138,9 +162,8 @@ def _fused_fwd(e, sg, dg, mask, receivers, w_e, ws, bs, w_out, b_out,
             const_spec((1, h)),  # ln_bias
         ],
         out_specs=(
-            tile_spec(),  # e'
-            pl.BlockSpec((NB, h), lambda t, tb, tf: (tb[t], 0),
-                         memory_space=pltpu.VMEM),  # agg
+            tile_spec(),   # e'
+            block_spec(),  # agg
         ),
     )
     ws_in = ws if n_hidden else jnp.zeros((1, h, h), e.dtype)
@@ -155,20 +178,23 @@ def _fused_fwd(e, sg, dg, mask, receivers, w_e, ws, bs, w_out, b_out,
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * n_tiles * ET * h * h * (2 + n_hidden)
-            + 2 * n_tiles * ET * NB * h,
+            + 4 * n_tiles * ET * NB * h,
             bytes_accessed=4 * e.size * e.dtype.itemsize,
             transcendentals=0,
         ),
-    )(tile_block, tile_first, recv2d, e, sg, dg, mask2d,
+    )(tile_block, tile_first, recv2d, e, sg, d_proj, mask2d,
       w_e, ws_in, bs_in, w_out, b_out.reshape(1, h),
       ln_scale.reshape(1, h), ln_bias.reshape(1, h))
 
 
-def _equiv(e, sg, dg, mask, receivers, w_e, ws, bs, w_out, b_out,
+def _equiv(e, sg, d_proj, mask, receivers, w_e, ws, bs, w_out, b_out,
            ln_scale, ln_bias, num_nodes: int):
     """jnp reference composition (used for the backward pass and tests)."""
     from aero_gnn_tpu.ops.scatter import segment_sum_sorted
 
+    dg = d_proj.at[receivers].get(
+        mode="promise_in_bounds", indices_are_sorted=True)
+    dg = dg * mask[:, None].astype(dg.dtype)
     h0 = e @ w_e + sg + dg
     z = jnp.maximum(h0, 0)
     for i in range(ws.shape[0]):
@@ -186,34 +212,36 @@ def _equiv(e, sg, dg, mask, receivers, w_e, ws, bs, w_out, b_out,
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(12, 13))
-def fused_edge_layer(e, sg, dg, mask, receivers, w_e, ws, bs, w_out, b_out,
-                     ln_scale, ln_bias, num_nodes: int,
+def fused_edge_layer(e, sg, d_proj, mask, receivers, w_e, ws, bs, w_out,
+                     b_out, ln_scale, ln_bias, num_nodes: int,
                      activation: str = "relu"
                      ) -> Tuple[jax.Array, jax.Array]:
-    """Fused concat-trick edge update + aggregation -> (e', agg)."""
-    return _fused_fwd(e, sg, dg, mask, receivers, w_e, ws, bs, w_out,
+    """Fused concat-trick edge update + in-kernel receiver gather +
+    aggregation -> (e', agg). ``d_proj`` is the [N, h] receiver-side node
+    projection; its gather to edges happens inside the kernel."""
+    return _fused_fwd(e, sg, d_proj, mask, receivers, w_e, ws, bs, w_out,
                       b_out, ln_scale, ln_bias, num_nodes, activation)
 
 
-def _fel_fwd(e, sg, dg, mask, receivers, w_e, ws, bs, w_out, b_out,
+def _fel_fwd(e, sg, d_proj, mask, receivers, w_e, ws, bs, w_out, b_out,
              ln_scale, ln_bias, num_nodes, activation):
-    out = _fused_fwd(e, sg, dg, mask, receivers, w_e, ws, bs, w_out, b_out,
-                     ln_scale, ln_bias, num_nodes, activation)
-    return out, (e, sg, dg, mask, receivers, w_e, ws, bs, w_out, b_out,
+    out = _fused_fwd(e, sg, d_proj, mask, receivers, w_e, ws, bs, w_out,
+                     b_out, ln_scale, ln_bias, num_nodes, activation)
+    return out, (e, sg, d_proj, mask, receivers, w_e, ws, bs, w_out, b_out,
                  ln_scale, ln_bias)
 
 
 def _fel_bwd(num_nodes, activation, res, ct):
-    (e, sg, dg, mask, receivers, w_e, ws, bs, w_out, b_out,
+    (e, sg, d_proj, mask, receivers, w_e, ws, bs, w_out, b_out,
      ln_scale, ln_bias) = res
     import os
 
     if os.environ.get("AERO_GNN_FUSED_BWD", "1") == "1":
-        return _fused_bwd(e, sg, dg, mask, receivers, w_e, ws, bs, w_out,
-                          b_out, ln_scale, ln_bias, num_nodes, ct)
+        return _fused_bwd(e, sg, d_proj, mask, receivers, w_e, ws, bs,
+                          w_out, b_out, ln_scale, ln_bias, num_nodes, ct)
     _, vjp = jax.vjp(
         lambda *a: _equiv(*a, num_nodes=num_nodes),
-        e, sg, dg, mask, receivers, w_e, ws, bs, w_out, b_out,
+        e, sg, d_proj, mask, receivers, w_e, ws, bs, w_out, b_out,
         ln_scale, ln_bias)
     grads = vjp(ct)
     # mask/receivers are integer/indicator inputs: no gradient
@@ -226,15 +254,16 @@ fused_edge_layer.defvjp(_fel_fwd, _fel_bwd)
 
 # ---------------------------------------------------------------------------
 # fused backward kernel: recompute the chain in VMEM per tile and produce
-# input grads + weight-grad accumulators (VMEM-resident across the grid)
+# input grads + weight-grad accumulators (VMEM-resident across the grid).
+# d_proj's gradient accumulates per node block (revisited like agg).
 # ---------------------------------------------------------------------------
 
 def _make_bwd_kernel(n_hidden: int):
     def kernel(tile_block_ref, tile_first_ref,
-               recv_ref, e_ref, sg_ref, dg_ref, mask_ref,
+               recv_ref, e_ref, sg_ref, dproj_ref, mask_ref,
                w_e_ref, ws_ref, bs_ref, w_out_ref, b_out_ref,
                ln_scale_ref, ln_bias_ref, ct_e_ref, ct_agg_ref,
-               de_out_ref, dsg_out_ref,
+               de_out_ref, dsg_out_ref, ddproj_ref,
                dwe_ref, dws_ref, dbs_ref, dwo_ref, dbo_ref,
                dscale_ref, dbias_ref):
         t = pl.program_id(0)
@@ -249,6 +278,10 @@ def _make_bwd_kernel(n_hidden: int):
             dscale_ref[:] = jnp.zeros_like(dscale_ref)
             dbias_ref[:] = jnp.zeros_like(dbias_ref)
 
+        @pl.when(tile_first_ref[t] == 1)
+        def _():
+            ddproj_ref[:] = jnp.zeros_like(ddproj_ref)
+
         def mm(a, b, ta=False, tb=False):
             dims = ((((0,) if ta else (1,)), ((1,) if tb else (0,))),
                     ((), ()))
@@ -258,8 +291,16 @@ def _make_bwd_kernel(n_hidden: int):
         e = e_ref[:]
         dt = e.dtype
 
+        # shared masked one-hot (same as forward)
+        base = tile_block_ref[t] * NB
+        local = recv_ref[:] - base
+        cols = jax.lax.broadcasted_iota(jnp.int32, (ET, NB), 1)
+        eq = jnp.where(local == cols, 1.0, 0.0)
+        onehot = (eq * mask_ref[:].astype(jnp.float32)).astype(dt)
+
         # ---- recompute forward chain (activations stay in VMEM) ----
-        h0 = mm(e, w_e_ref[:]).astype(dt) + sg_ref[:] + dg_ref[:]
+        dg = mm(onehot, dproj_ref[:]).astype(dt)
+        h0 = mm(e, w_e_ref[:]).astype(dt) + sg_ref[:] + dg
         acts = [jnp.maximum(h0, 0)]
         for i in range(n_hidden):
             acts.append(jnp.maximum(
@@ -272,11 +313,6 @@ def _make_bwd_kernel(n_hidden: int):
         xn = (d32 - mu) * inv
 
         # ---- cotangent of e': direct + through the aggregation ----
-        base = tile_block_ref[t] * NB
-        local = recv_ref[:] - base
-        cols = jax.lax.broadcasted_iota(jnp.int32, (ET, NB), 1)
-        eq = jnp.where(local == cols, 1.0, 0.0)
-        onehot = (eq * mask_ref[:].astype(jnp.float32)).astype(dt)
         # gather ct_agg rows for each edge: [ET, NB] @ [NB, h]
         ct_total = ct_e_ref[:] + mm(onehot, ct_agg_ref[:]).astype(dt)
 
@@ -305,16 +341,18 @@ def _make_bwd_kernel(n_hidden: int):
             dz = mm(dz, ws_ref[i], tb=True).astype(dt)
             dz = dz * (acts[i].astype(jnp.float32) > 0).astype(dt)
 
-        # dz is now d(h0)
+        # dz is now d(h0) == d_sg == d_dg (pre-mask)
         dwe_ref[:] += mm(e, dz, ta=True)
         d_e = ct_total + mm(dz, w_e_ref[:], tb=True).astype(dt)
         de_out_ref[:] = d_e
-        dsg_out_ref[:] = dz  # == d_sg == d_dg
+        dsg_out_ref[:] = dz
+        # d(d_proj): transpose of the masked in-kernel gather
+        ddproj_ref[:] += mm(onehot, dz, ta=True).astype(ddproj_ref.dtype)
 
     return kernel
 
 
-def _fused_bwd(e, sg, dg, mask, receivers, w_e, ws, bs, w_out, b_out,
+def _fused_bwd(e, sg, d_proj, mask, receivers, w_e, ws, bs, w_out, b_out,
                ln_scale, ln_bias, num_nodes: int, ct):
     ct_e, ct_agg = ct
     n_tiles = receivers.shape[0] // ET
@@ -326,6 +364,10 @@ def _fused_bwd(e, sg, dg, mask, receivers, w_e, ws, bs, w_out, b_out,
 
     def tile_spec():
         return pl.BlockSpec((ET, h), lambda t, tb, tf: (t, 0),
+                            memory_space=pltpu.VMEM)
+
+    def block_spec():
+        return pl.BlockSpec((NB, h), lambda t, tb, tf: (tb[t], 0),
                             memory_space=pltpu.VMEM)
 
     def const_spec(shape):
@@ -340,7 +382,8 @@ def _fused_bwd(e, sg, dg, mask, receivers, w_e, ws, bs, w_out, b_out,
         in_specs=[
             pl.BlockSpec((ET, 1), lambda t, tb, tf: (t, 0),
                          memory_space=pltpu.VMEM),  # recv
-            tile_spec(), tile_spec(), tile_spec(),  # e, sg, dg
+            tile_spec(), tile_spec(),    # e, sg
+            block_spec(),                # d_proj (node block)
             pl.BlockSpec((ET, 1), lambda t, tb, tf: (t, 0),
                          memory_space=pltpu.VMEM),  # mask
             const_spec((h, h)),          # w_e
@@ -351,12 +394,12 @@ def _fused_bwd(e, sg, dg, mask, receivers, w_e, ws, bs, w_out, b_out,
             const_spec((1, h)),          # ln_scale
             const_spec((1, h)),          # ln_bias
             tile_spec(),                 # ct_e
-            pl.BlockSpec((NB, h), lambda t, tb, tf: (tb[t], 0),
-                         memory_space=pltpu.VMEM),  # ct_agg
+            block_spec(),                # ct_agg
         ],
         out_specs=(
             tile_spec(),                 # d_e
-            tile_spec(),                 # d_sg (== d_dg)
+            tile_spec(),                 # d_sg
+            block_spec(),                # d_dproj (per-block accumulator)
             const_spec((h, h)),          # dW_e   (resident accumulators)
             const_spec((nh, h, h)),      # dWs
             const_spec((nh, 1, h)),      # dbs
@@ -375,6 +418,7 @@ def _fused_bwd(e, sg, dg, mask, receivers, w_e, ws, bs, w_out, b_out,
         out_shape=(
             jax.ShapeDtypeStruct(e.shape, e.dtype),      # d_e
             jax.ShapeDtypeStruct(e.shape, e.dtype),      # d_sg
+            jax.ShapeDtypeStruct((num_nodes, h), e.dtype),  # d_dproj
             jax.ShapeDtypeStruct((h, h), jnp.float32),
             jax.ShapeDtypeStruct((nh, h, h), jnp.float32),
             jax.ShapeDtypeStruct((nh, 1, h), jnp.float32),
@@ -385,18 +429,18 @@ def _fused_bwd(e, sg, dg, mask, receivers, w_e, ws, bs, w_out, b_out,
         ),
         cost_estimate=pl.CostEstimate(
             flops=3 * (2 * n_tiles * ET * h * h * (2 + n_hidden))
-            + 2 * n_tiles * ET * NB * h,
+            + 6 * n_tiles * ET * NB * h,
             bytes_accessed=7 * e.size * e.dtype.itemsize,
             transcendentals=0,
         ),
-    )(tile_block, tile_first, recv2d, e, sg, dg, mask2d,
+    )(tile_block, tile_first, recv2d, e, sg, d_proj, mask2d,
       w_e, ws_in, bs_in, w_out, b_out.reshape(1, h),
       ln_scale.reshape(1, h), ln_bias.reshape(1, h), ct_e, ct_agg)
-    (d_e, d_sg, dwe, dws, dbs, dwo, dbo, dscale, dbias) = outs
+    (d_e, d_sg, d_dproj, dwe, dws, dbs, dwo, dbo, dscale, dbias) = outs
     dws_out = dws[:n_hidden].astype(ws.dtype)
     dbs_out = dbs[:n_hidden, 0].astype(bs.dtype) if n_hidden \
         else jnp.zeros_like(bs)
-    return (d_e, d_sg, d_sg, None, None,
+    return (d_e, d_sg, d_dproj.astype(d_proj.dtype), None, None,
             dwe.astype(w_e.dtype), dws_out, dbs_out,
             dwo.astype(w_out.dtype), dbo[0].astype(b_out.dtype),
             dscale[0].astype(ln_scale.dtype), dbias[0].astype(ln_bias.dtype))

@@ -111,8 +111,8 @@ def test_loader_pallas_backend_fixed_shapes_and_training():
         shapes = set()
         for gb, _ in loader:
             shapes.add((gb.num_nodes_pad, gb.num_edges_pad))
-            assert gb.num_nodes_pad % 512 == 0
-            assert gb.num_edges_pad % 512 == 0
+            assert gb.num_nodes_pad % padded.ALIGN_NODE_BLOCK == 0
+            assert gb.num_edges_pad % padded.ALIGN_EDGE_TILE == 0
         assert len(shapes) == 1
 
         # remat=False: interpret-mode pallas_call is an io_callback, which
@@ -182,9 +182,9 @@ class TestFusedEdgeLayer:
         E, N = gb.num_edges_pad, gb.num_nodes_pad
         e = jnp.asarray(rng.standard_normal((E, h)).astype(np.float32))
         sg = jnp.asarray(rng.standard_normal((E, h)).astype(np.float32))
-        dg = jnp.asarray(rng.standard_normal((E, h)).astype(np.float32))
+        d_proj = jnp.asarray(rng.standard_normal((N, h)).astype(np.float32))
         p = self._params(h)
-        args = (e, sg, dg, gb.edge_mask, gb.receivers, p["w_e"], p["ws"],
+        args = (e, sg, d_proj, gb.edge_mask, gb.receivers, p["w_e"], p["ws"],
                 p["bs"], p["w_out"], p["b_out"], p["ln_scale"], p["ln_bias"])
         with pltpu.force_tpu_interpret_mode():
             e2, agg = PF.fused_edge_layer(*args, N, "relu")
@@ -202,21 +202,21 @@ class TestFusedEdgeLayer:
         E, N = gb.num_edges_pad, gb.num_nodes_pad
         e = jnp.asarray(rng.standard_normal((E, h)).astype(np.float32))
         sg = jnp.asarray(rng.standard_normal((E, h)).astype(np.float32))
-        dg = jnp.asarray(rng.standard_normal((E, h)).astype(np.float32))
+        d_proj = jnp.asarray(rng.standard_normal((N, h)).astype(np.float32))
         p = self._params(h, seed=7)
         wn = jnp.asarray(rng.standard_normal((N, h)).astype(np.float32))
         we_ = jnp.asarray(rng.standard_normal((E, h)).astype(np.float32))
 
         def loss_fused(e, w_e):
             e2, agg = PF.fused_edge_layer(
-                e, sg, dg, gb.edge_mask, gb.receivers, w_e, p["ws"],
+                e, sg, d_proj, gb.edge_mask, gb.receivers, w_e, p["ws"],
                 p["bs"], p["w_out"], p["b_out"], p["ln_scale"],
                 p["ln_bias"], N, "relu")
             return jnp.sum(e2 * we_) + jnp.sum(agg * wn)
 
         def loss_ref(e, w_e):
             e2, agg = PF._equiv(
-                e, sg, dg, gb.edge_mask, gb.receivers, w_e, p["ws"],
+                e, sg, d_proj, gb.edge_mask, gb.receivers, w_e, p["ws"],
                 p["bs"], p["w_out"], p["b_out"], p["ln_scale"],
                 p["ln_bias"], num_nodes=N)
             return jnp.sum(e2 * we_) + jnp.sum(agg * wn)
@@ -254,24 +254,24 @@ class TestFusedEdgeLayer:
         E, N = gb.num_edges_pad, gb.num_nodes_pad
         e = jnp.asarray(rng.standard_normal((E, h)).astype(np.float32))
         sg = jnp.asarray(rng.standard_normal((E, h)).astype(np.float32))
-        dg = jnp.asarray(rng.standard_normal((E, h)).astype(np.float32))
+        d_proj = jnp.asarray(rng.standard_normal((N, h)).astype(np.float32))
         p = self._params(h, seed=9)
         ct_e = jnp.asarray(rng.standard_normal((E, h)).astype(np.float32))
         ct_agg = jnp.asarray(rng.standard_normal((N, h)).astype(np.float32))
 
         with pltpu.force_tpu_interpret_mode():
             grads_fused = PF._fused_bwd(
-                e, sg, dg, gb.edge_mask, gb.receivers, p["w_e"], p["ws"],
+                e, sg, d_proj, gb.edge_mask, gb.receivers, p["w_e"], p["ws"],
                 p["bs"], p["w_out"], p["b_out"], p["ln_scale"],
                 p["ln_bias"], N, (ct_e, ct_agg))
 
         _, vjp = jax.vjp(
             lambda *a: PF._equiv(*a, num_nodes=N),
-            e, sg, dg, gb.edge_mask, gb.receivers, p["w_e"], p["ws"],
+            e, sg, d_proj, gb.edge_mask, gb.receivers, p["w_e"], p["ws"],
             p["bs"], p["w_out"], p["b_out"], p["ln_scale"], p["ln_bias"])
         grads_ref = vjp((ct_e, ct_agg))
 
-        names = ["d_e", "d_sg", "d_dg", "mask", "recv", "dw_e", "dws",
+        names = ["d_e", "d_sg", "d_dproj", "mask", "recv", "dw_e", "dws",
                  "dbs", "dw_out", "db_out", "dscale", "dbias"]
         for name, gf, gr in zip(names, grads_fused, grads_ref):
             if gf is None:
