@@ -109,12 +109,13 @@ class Loader:
         self.drop_remainder = drop_remainder
         self._epoch = 0
         if align_edges is None:
-            # Pallas aggregation requires the block-aligned layout; the
-            # BSMS hierarchy path keeps the plain layout (its coarse-level
-            # streams are not aligned, so it runs on the XLA ops)
+            # Pallas kernels require the block-aligned layout. With a BSMS
+            # hierarchy, level-0 fine-edge artifacts (edge_to_coarse /
+            # edge_weights) are re-indexed onto the aligned rows
+            # (hierarchy.realign_level0); coarse-level streams stay plain
+            # and run on the XLA ops.
             from aero_gnn_tpu import ops as _ops
-            align_edges = (_ops.backend() == "pallas"
-                           and (num_scales is None or num_scales <= 1))
+            align_edges = _ops.backend() == "pallas"
         self.align_edges = align_edges
 
         self._hier: Optional[List[List[dict]]] = None
@@ -148,12 +149,13 @@ class Loader:
         for b in range(n_batches):
             idx = order[b * bs:(b + 1) * bs]
             batch_samples = [self.samples[i] for i in idx]
-            gb = batch_graphs(
+            gb, amap = batch_graphs(
                 [sample_to_dict(s) for s in batch_samples],
                 num_nodes_pad=self.pad_spec.num_nodes_pad,
                 num_edges_pad=self.pad_spec.num_edges_pad,
                 num_graphs_pad=self.pad_spec.num_graphs_pad,
                 align_edges=self.align_edges,
+                return_align_map=True,
             )
             aux: dict = {"samples": batch_samples}
             if self._hier is not None:
@@ -163,5 +165,7 @@ class Loader:
                     num_fine_edges_pad=self.pad_spec.num_edges_pad,
                     pad_plan=self.pad_spec.hierarchy_pad_plan,
                 )
+                if amap is not None:
+                    levels[0] = H.realign_level0(levels[0], amap)
                 aux["hierarchy"] = tuple(levels)
             yield gb, aux

@@ -426,6 +426,32 @@ def collate_hierarchies(
     return out
 
 
+def realign_level0(level: HierarchyLevel,
+                    align_src: "np.ndarray") -> HierarchyLevel:
+    """Re-index level 0's fine-EDGE-row artifacts for a block-aligned batch.
+
+    ``align_src`` (from padded.build_graph_batch(..., return_align_map=True))
+    maps each aligned edge row to its plain receiver-sorted row (-1 = pad
+    slot). Alignment inserts pad slots without permuting real edges, so
+    edge_to_coarse / edge_weights just gather through the map; fine-NODE-row
+    artifacts (fine_to_coarse, node_weights) are untouched — alignment never
+    reorders nodes.
+    """
+    e2c = np.asarray(level.edge_to_coarse)
+    ew = np.asarray(level.edge_weights)
+    ec_pad = level.num_coarse_edges_pad
+    src = np.asarray(align_src)
+    ok = src >= 0
+    idx = np.where(ok, src, 0)
+    e2c_a = np.where(ok, e2c[idx], ec_pad - 1).astype(np.int32)
+    ew_a = np.where(ok, ew[idx], 0.0).astype(ew.dtype)
+    return dataclasses.replace(
+        level,
+        edge_to_coarse=jnp.asarray(e2c_a),
+        edge_weights=jnp.asarray(ew_a),
+    )
+
+
 def build_hierarchy(
     *,
     senders: np.ndarray,

@@ -103,6 +103,12 @@ class GraphBatch:
     tile_first: Optional[jax.Array] = None  # i32[T]
 
     @property
+    def edges_aligned(self) -> bool:
+        """True iff built with align_edges=True (the Pallas kernel layout).
+        Gates every Pallas dispatch — divisible shapes alone are unsafe."""
+        return self.tile_block is not None
+
+    @property
     def num_nodes_pad(self) -> int:
         return self.x.shape[0]
 
@@ -150,14 +156,23 @@ def build_graph_batch(
     node_graph: Optional[np.ndarray] = None,
     align_edges: bool = False,
     dtype: np.dtype = np.float32,
-) -> GraphBatch:
+    return_align_map: bool = False,
+):
     """Host-side construction of a single padded graph (numpy in, pytree out).
 
     Sorts edges by receiver, pads nodes/edges to the requested (or bucketed)
     sizes, and routes pad edges to the last pad node. With
     ``align_edges=True`` the edge stream is additionally padded so every
-    128-node block's edges fill whole 128-edge tiles (the layout the Pallas
-    aggregation kernel consumes); receivers stay ascending.
+    node block's edges fill whole edge tiles (the layout the Pallas
+    aggregation kernel consumes); receivers stay ascending and real edges
+    keep their receiver-sorted relative order (pad slots are inserted, not
+    permuted).
+
+    ``return_align_map=True`` returns ``(GraphBatch, align_src)`` where
+    ``align_src`` is i64[num_edges_pad] mapping each (aligned) edge row to
+    its plain receiver-sorted row, -1 for pad slots — None when
+    ``align_edges`` is False. Used to re-index fine-edge-row hierarchy
+    artifacts (graph.hierarchy.realign_level0).
     """
     senders = np.asarray(senders, dtype=np.int32)
     receivers = np.asarray(receivers, dtype=np.int32)
@@ -215,6 +230,12 @@ def build_graph_batch(
             tf[len(tile_block)] = 1
         tile_block, tile_first = tb, tf
 
+    align_src = None
+    if align_edges:
+        align_src = np.full(ep_pad, -1, dtype=np.int64)
+        valid_rows = np.flatnonzero(edge_valid)
+        align_src[valid_rows] = np.arange(len(valid_rows), dtype=np.int64)
+
     pad_node = np_pad - 1
     n_rows = senders.shape[0]
     s_p = np.full(ep_pad, pad_node, dtype=np.int32)
@@ -253,7 +274,7 @@ def build_graph_batch(
         sender_perm, senders_sorted = _align_sender_stream(
             sender_perm, senders_sorted, edge_mask, np_pad)
 
-    return GraphBatch(
+    gb = GraphBatch(
         senders=jnp.asarray(s_p),
         receivers=jnp.asarray(r_p),
         sender_perm=jnp.asarray(sender_perm),
@@ -271,6 +292,9 @@ def build_graph_batch(
         n_node=jnp.asarray(n, dtype=jnp.int32),
         n_edge=jnp.asarray(e, dtype=jnp.int32),
     )
+    if return_align_map:
+        return gb, align_src
+    return gb
 
 
 def batch_graphs(
@@ -281,7 +305,8 @@ def batch_graphs(
     num_graphs_pad: Optional[int] = None,
     align_edges: bool = False,
     dtype: np.dtype = np.float32,
-) -> GraphBatch:
+    return_align_map: bool = False,
+):
     """Disjoint-union collation of host-side graphs into one ``GraphBatch``.
 
     ``graphs`` is a list of dicts with numpy arrays: senders, receivers, x,
@@ -322,6 +347,7 @@ def batch_graphs(
         num_graphs_pad=gp_pad,
         node_graph=node_graph,
         align_edges=align_edges,
+        return_align_map=return_align_map,
         dtype=dtype,
     )
 

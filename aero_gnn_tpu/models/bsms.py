@@ -92,12 +92,11 @@ class BSMSConfig(MGNConfig):
             raise ValueError(
                 f"hierarchy has {len(hierarchy)} levels, expected "
                 f"{self.num_scales - 1}")
-        # BSMS streams (fine + coarse levels) are not block-aligned, so the
-        # Pallas aggregation kernel must not be dispatched here even when
-        # the pallas backend is globally enabled.
-        from aero_gnn_tpu import ops as _ops
-        with _ops.use_backend("xla"):
-            return self._apply(params, graph, hierarchy, rng)
+        # The level-0 (fine) streams inherit the GraphBatch's block
+        # alignment, so the fused Pallas path runs on the finest — and by
+        # far largest — scale; coarse-level streams from the hierarchy
+        # builder are not aligned and stay on the XLA ops.
+        return self._apply(params, graph, hierarchy, rng)
 
     def _apply(self, params, graph, hierarchy, rng):
         x = M.mlp_apply(params["node_encoder"], graph.x,
@@ -114,6 +113,7 @@ class BSMSConfig(MGNConfig):
         senders, receivers = graph.senders, graph.receivers
         node_mask, edge_mask = graph.node_mask, graph.edge_mask
         sperm, ssort = graph.sender_perm, graph.senders_sorted
+        aligned = graph.edges_aligned
         skips = []
 
         # ---- down path ----
@@ -121,8 +121,11 @@ class BSMSConfig(MGNConfig):
             x, e = run_processor(params["down"][s], self.layer_cfg, x, e,
                                  senders, receivers, edge_mask,
                                  sender_perm=sperm, senders_sorted=ssort,
-                                 remat=self.remat)
-            skips.append((x, e, senders, receivers, edge_mask, sperm, ssort))
+                                 remat=self.remat,
+                                 remat_policy=self.remat_policy,
+                                 aligned=aligned)
+            skips.append((x, e, senders, receivers, edge_mask, sperm, ssort,
+                          aligned))
             if self.transfer == "weighted":
                 w = (level.node_weights * node_mask).astype(x.dtype)
                 wsum = jax.ops.segment_sum(
@@ -142,25 +145,30 @@ class BSMSConfig(MGNConfig):
             senders, receivers = level.senders, level.receivers
             node_mask, edge_mask = level.node_mask, level.edge_mask
             sperm, ssort = level.sender_perm, level.senders_sorted
+            aligned = False  # hierarchy levels are not block-aligned
 
         # ---- bottleneck ----
         x, e = run_processor(params["bottleneck"], self.layer_cfg, x, e,
                              senders, receivers, edge_mask,
                              sender_perm=sperm, senders_sorted=ssort,
-                             remat=self.remat)
+                             remat=self.remat,
+                             remat_policy=self.remat_policy,
+                             aligned=aligned)
 
         # ---- up path ----
         for i in range(len(hierarchy)):
             level = hierarchy[-(i + 1)]
             (skip_x, skip_e, senders, receivers, edge_mask,
-             sperm, ssort) = skips[-(i + 1)]
+             sperm, ssort, aligned) = skips[-(i + 1)]
             x = x.at[level.fine_to_coarse].get(
                 mode="promise_in_bounds") + skip_x
             e = skip_e
             x, e = run_processor(params["up"][i], self.layer_cfg, x, e,
                                  senders, receivers, edge_mask,
                                  sender_perm=sperm, senders_sorted=ssort,
-                                 remat=self.remat)
+                                 remat=self.remat,
+                                 remat_policy=self.remat_policy,
+                                 aligned=aligned)
 
         return M.mlp_apply(params["decoder"], x, activation=self.activation)
 

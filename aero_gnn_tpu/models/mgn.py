@@ -133,6 +133,7 @@ class MGNConfig:
             senders_sorted=graph.senders_sorted,
             remat=self.remat,
             remat_policy=self.remat_policy,
+            aligned=graph.edges_aligned,
         )
         if self.separate_decoders:
             out = jnp.concatenate(
@@ -149,7 +150,7 @@ def run_processor(stacked_layers, layer_cfg: B.MGNLayerConfig,
                   senders: jax.Array, receivers: jax.Array,
                   edge_mask: jax.Array, *, sender_perm=None,
                   senders_sorted=None, remat: bool = True,
-                  remat_policy: str = "save_fused"):
+                  remat_policy: str = "save_fused", aligned: bool = False):
     """Scan the residual MP layer over stacked per-layer params.
 
     ``remat_policy`` (only with ``remat=True``):
@@ -169,7 +170,7 @@ def run_processor(stacked_layers, layer_cfg: B.MGNLayerConfig,
         x, e = carry
         x, e = B.mgn_layer_apply(
             layer_params, layer_cfg, x, e, senders, receivers, edge_mask,
-            sender_perm, senders_sorted)
+            sender_perm, senders_sorted, aligned)
         return (x, e), None
 
     if remat:

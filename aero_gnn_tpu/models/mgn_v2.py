@@ -111,7 +111,8 @@ class MGNv2Config:
             x, e = carry
             e = e + build_mlp_apply(layer["edge_mlp"], e)
             agg = ops.aggregate_edges(e, receivers, num_nodes,
-                                      aggregation="mean", edge_mask=edge_mask)
+                                      aggregation="mean", edge_mask=edge_mask,
+                                      aligned=graph.edges_aligned)
             x = x + build_mlp_apply(layer["node_mlp"],
                                     jnp.concatenate([x, agg], axis=-1))
             return (x, e), None

@@ -69,9 +69,11 @@ def edge_block_apply(
     senders: jax.Array, receivers: jax.Array,
     sender_perm: Optional[jax.Array] = None,
     senders_sorted: Optional[jax.Array] = None,
+    aligned: bool = False,
 ) -> jax.Array:
-    x_src = ops.gather_senders(node_attr, senders, sender_perm, senders_sorted)
-    x_dst = ops.gather_receivers(node_attr, receivers)
+    x_src = ops.gather_senders(node_attr, senders, sender_perm,
+                               senders_sorted, aligned)
+    x_dst = ops.gather_receivers(node_attr, receivers, aligned)
     edge_input = jnp.concatenate([edge_attr, x_src, x_dst], axis=-1)
     return M.mlp_apply(params, edge_input, activation=cfg.activation)
 
@@ -106,6 +108,7 @@ def edge_block_sum_pre(
     senders: jax.Array, receivers: jax.Array,
     sender_perm: Optional[jax.Array] = None,
     senders_sorted: Optional[jax.Array] = None,
+    aligned: bool = False,
 ) -> jax.Array:
     """h0 = W_e e + (W_s x)[src] + (W_d x)[dst] + b — projections on [N,h]
     before the gather so the gather moves hidden-width rows only."""
@@ -113,8 +116,9 @@ def edge_block_sum_pre(
     s_proj = node_attr @ params["w_s"]
     d_proj = node_attr @ params["w_d"] + params["b"]
     return (e_proj
-            + ops.gather_senders(s_proj, senders, sender_perm, senders_sorted)
-            + ops.gather_receivers(d_proj, receivers))
+            + ops.gather_senders(s_proj, senders, sender_perm,
+                                 senders_sorted, aligned)
+            + ops.gather_receivers(d_proj, receivers, aligned))
 
 
 def edge_block_sum_post(params, h0: jax.Array, cfg: MGNLayerConfig) -> jax.Array:
@@ -135,9 +139,10 @@ def edge_block_sum_apply(
     senders: jax.Array, receivers: jax.Array,
     sender_perm: Optional[jax.Array] = None,
     senders_sorted: Optional[jax.Array] = None,
+    aligned: bool = False,
 ) -> jax.Array:
     h0 = edge_block_sum_pre(params, edge_attr, node_attr, senders, receivers,
-                            sender_perm, senders_sorted)
+                            sender_perm, senders_sorted, aligned)
     return edge_block_sum_post(params, h0, cfg)
 
 
@@ -166,10 +171,11 @@ def node_block_apply(
     params, cfg: MGNLayerConfig,
     node_attr: jax.Array, edge_attr: jax.Array,
     receivers: jax.Array, edge_mask: Optional[jax.Array],
+    aligned: bool = False,
 ) -> jax.Array:
     edge_aggr = ops.aggregate_edges(
         edge_attr, receivers, node_attr.shape[0],
-        aggregation=cfg.aggregation, edge_mask=edge_mask,
+        aggregation=cfg.aggregation, edge_mask=edge_mask, aligned=aligned,
     )
     return node_block_post(params, cfg, node_attr, edge_aggr)
 
@@ -188,10 +194,10 @@ def mgn_layer_init(key: jax.Array, cfg: MGNLayerConfig, dtype=jnp.float32):
 
 
 def _fused_layer_ok(cfg: MGNLayerConfig, node_attr, receivers,
-                    edge_mask) -> bool:
+                    edge_mask, aligned: bool) -> bool:
     from aero_gnn_tpu import ops as _ops
 
-    if _ops.backend() != "pallas" or not cfg.do_concat_trick:
+    if not aligned or _ops.backend() != "pallas" or not cfg.do_concat_trick:
         return False
     if cfg.edge_sum_activation != "relu" or edge_mask is None:
         return False
@@ -204,6 +210,7 @@ def _fused_layer_ok(cfg: MGNLayerConfig, node_attr, receivers,
 def _mgn_layer_fused(params, cfg: MGNLayerConfig, node_attr, edge_attr,
                      senders, receivers, edge_mask, sender_perm,
                      senders_sorted):
+    # (only reached when _fused_layer_ok: the streams are block-aligned)
     """Pallas fused path: whole edge-MLP chain + residual + receiver-side
     gather + aggregation in one kernel (ops.pallas_fused); node update
     stays on XLA. Only the sender-side gather materializes [E, h]."""
@@ -216,7 +223,8 @@ def _mgn_layer_fused(params, cfg: MGNLayerConfig, node_attr, edge_attr,
     s_proj = node_attr @ p["w_s"]
     d_proj = checkpoint_name(node_attr @ p["w_d"] + p["b"], "mgn_dproj")
     sg = checkpoint_name(
-        ops.gather_senders(s_proj, senders, sender_perm, senders_sorted),
+        ops.gather_senders(s_proj, senders, sender_perm, senders_sorted,
+                           aligned=True),
         "mgn_sg")
     ws = (jnp.stack([s["w"] for s in p["stack"][:-1]])
           if len(p["stack"]) > 1
@@ -247,23 +255,30 @@ def mgn_layer_apply(
     edge_mask: Optional[jax.Array] = None,
     sender_perm: Optional[jax.Array] = None,
     senders_sorted: Optional[jax.Array] = None,
+    aligned: bool = False,
 ):
-    """One processor step; returns (node_attr', edge_attr')."""
+    """One processor step; returns (node_attr', edge_attr').
+
+    ``aligned`` declares the edge streams block-aligned
+    (build_graph_batch(align_edges=True)); it gates every Pallas dispatch.
+    """
     if (cfg.do_concat_trick and cfg.ln_in_edge_block()
-            and _fused_layer_ok(cfg, node_attr, receivers, edge_mask)):
+            and _fused_layer_ok(cfg, node_attr, receivers, edge_mask,
+                                aligned)):
         return _mgn_layer_fused(params, cfg, node_attr, edge_attr,
                                 senders, receivers, edge_mask,
                                 sender_perm, senders_sorted)
     if cfg.do_concat_trick:
         delta_e = edge_block_sum_apply(
             params["edge"], cfg, edge_attr, node_attr, senders, receivers,
-            sender_perm, senders_sorted)
+            sender_perm, senders_sorted, aligned)
     else:
         delta_e = edge_block_apply(
             params["edge"], cfg, edge_attr, node_attr, senders, receivers,
-            sender_perm, senders_sorted)
+            sender_perm, senders_sorted, aligned)
     edge_attr = edge_attr + delta_e
     delta_n = node_block_apply(
-        params["node"], cfg, node_attr, edge_attr, receivers, edge_mask)
+        params["node"], cfg, node_attr, edge_attr, receivers, edge_mask,
+        aligned)
     node_attr = node_attr + delta_n
     return node_attr, edge_attr

@@ -60,16 +60,22 @@ def aggregate_edges(
     *,
     aggregation: str,
     edge_mask: Optional[jax.Array] = None,
+    aligned: bool = False,
 ) -> jax.Array:
     """Aggregate edge messages to destination nodes ([E,D] -> [N,D]).
 
     The single entry point NodeBlock uses; torch_scatter.scatter_{add,mean}
     parity (/root/reference/models/mgnLayer.py:143-148) including the
     ValueError on unsupported modes.
+
+    ``aligned`` must be True only for streams built with the block-aligned
+    layout (build_graph_batch(align_edges=True)); it gates the Pallas
+    kernel, which silently drops edges whose tile spans two node blocks on
+    any other layout — divisible shapes alone are NOT sufficient.
     """
     if aggregation not in ("add", "mean"):
         raise ValueError(f"Unsupported aggregation method: {aggregation}")
-    if _BACKEND == "pallas":
+    if _BACKEND == "pallas" and aligned:
         from aero_gnn_tpu.ops.pallas_segment import segment_agg_pallas
 
         return segment_agg_pallas(messages, receivers, num_nodes,

@@ -144,23 +144,25 @@ def graph_broadcast(graph_values: jax.Array, node_graph: jax.Array) -> jax.Array
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _gather_senders_impl(num_nodes: int, x, senders, sender_perm,
-                         senders_sorted):
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _gather_senders_impl(num_nodes: int, aligned: bool, x, senders,
+                         sender_perm, senders_sorted):
     return x.at[senders].get(mode="promise_in_bounds")
 
 
-def _gather_senders_fwd(num_nodes, x, senders, sender_perm, senders_sorted):
+def _gather_senders_fwd(num_nodes, aligned, x, senders, sender_perm,
+                        senders_sorted):
     out = x.at[senders].get(mode="promise_in_bounds")
     return out, (senders, sender_perm, senders_sorted)
 
 
-def _dispatch_sorted_segment_sum(data, segment_ids, num_segments):
+def _dispatch_sorted_segment_sum(data, segment_ids, num_segments,
+                                 aligned=False):
     """Sorted segment sum, routed to the Pallas kernel when the pallas
-    backend is active and the stream is block-aligned."""
+    backend is active and the stream is declared block-aligned."""
     from aero_gnn_tpu import ops as _ops
 
-    if _ops.backend() == "pallas":
+    if _ops.backend() == "pallas" and aligned:
         from aero_gnn_tpu.ops.pallas_segment import segment_agg_pallas
 
         return segment_agg_pallas(data, segment_ids, num_segments,
@@ -170,26 +172,30 @@ def _dispatch_sorted_segment_sum(data, segment_ids, num_segments):
                                indices_are_sorted=True)
 
 
-def _gather_senders_bwd(num_nodes, res, ct):
+def _gather_senders_bwd(num_nodes, aligned, res, ct):
     senders, sender_perm, senders_sorted = res
     ct_sorted = ct.at[sender_perm].get(mode="promise_in_bounds")
-    dx = _dispatch_sorted_segment_sum(ct_sorted, senders_sorted, num_nodes)
+    dx = _dispatch_sorted_segment_sum(ct_sorted, senders_sorted, num_nodes,
+                                      aligned)
     return dx, None, None, None
 
 
 _gather_senders_impl.defvjp(_gather_senders_fwd, _gather_senders_bwd)
 
 
-def gather_senders(x, senders, sender_perm=None, senders_sorted=None):
+def gather_senders(x, senders, sender_perm=None, senders_sorted=None,
+                   aligned: bool = False):
     """``x[senders]`` whose backward is a sorted segment-sum.
 
     ``sender_perm`` sorts edges by sender; ``senders_sorted`` = the sender
     ids in that order. Falls back to the plain gather when absent.
+    ``aligned`` declares the sender-sorted stream block-aligned
+    (build_graph_batch(align_edges=True)) and gates the Pallas backward.
     """
     if sender_perm is None or senders_sorted is None:
         return gather(x, senders)
-    return _gather_senders_impl(x.shape[0], x, senders, sender_perm,
-                                senders_sorted)
+    return _gather_senders_impl(x.shape[0], aligned, x, senders,
+                                sender_perm, senders_sorted)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(0,))
@@ -211,15 +217,15 @@ def _gather_receivers_bwd(num_nodes, res, ct):
 _gather_receivers_impl.defvjp(_gather_receivers_fwd, _gather_receivers_bwd)
 
 
-def gather_receivers(x, receivers):
+def gather_receivers(x, receivers, aligned: bool = False):
     """``x[receivers]`` (ascending ids) with a sorted segment-sum backward.
 
-    Under the pallas backend with a block-aligned stream, both directions
-    run on the Pallas one-hot kernels.
+    Under the pallas backend with a declared block-aligned stream, both
+    directions run on the Pallas one-hot kernels.
     """
     from aero_gnn_tpu import ops as _ops
 
-    if _ops.backend() == "pallas":
+    if _ops.backend() == "pallas" and aligned:
         from aero_gnn_tpu.ops import pallas_segment as PS
 
         if (receivers.shape[0] % PS.ET == 0 and x.shape[0] % PS.NB == 0):

@@ -279,3 +279,76 @@ class TestFusedEdgeLayer:
             np.testing.assert_allclose(
                 np.asarray(gf), np.asarray(gr), rtol=5e-4, atol=5e-4,
                 err_msg=name)
+
+
+def test_unaligned_divisible_graph_is_safe_under_pallas_backend():
+    """A graph whose padded sizes happen to divide NB/ET but that was NOT
+    built with align_edges must not be routed to the Pallas kernels (a tile
+    spanning two node blocks would silently drop contributions). The model
+    must produce identical results under both backends."""
+    from aero_gnn_tpu.models.mgn import MGNConfig
+
+    rng = np.random.default_rng(11)
+    n_real = padded.ALIGN_NODE_BLOCK * 2 - 7
+    e_real = padded.ALIGN_EDGE_TILE * 3 - 5
+    g = dict(senders=rng.integers(0, n_real, e_real),
+             receivers=rng.integers(0, n_real, e_real),
+             x=rng.standard_normal((n_real, 4)).astype(np.float32),
+             edge_attr=rng.standard_normal((e_real, 3)).astype(np.float32),
+             pos=rng.standard_normal((n_real, 2)).astype(np.float32))
+    gb = padded.build_graph_batch(
+        **g, num_nodes_pad=padded.ALIGN_NODE_BLOCK * 2,
+        num_edges_pad=padded.ALIGN_EDGE_TILE * 3)
+    # the hazard precondition: divisible but NOT aligned
+    assert gb.num_nodes_pad % padded.ALIGN_NODE_BLOCK == 0
+    assert gb.num_edges_pad % padded.ALIGN_EDGE_TILE == 0
+    assert not gb.edges_aligned
+
+    cfg = MGNConfig(input_node_dim=4, input_edge_dim=3, output_node_dim=2,
+                    processor_size=2, hidden_dim_processor=16,
+                    hidden_dim_node_encoder=16, hidden_dim_edge_encoder=16,
+                    hidden_dim_decoder=16, do_concat_trick=True, remat=False)
+    params = cfg.init(jax.random.PRNGKey(3))
+    ref = np.asarray(cfg.apply(params, gb))
+    with pltpu.force_tpu_interpret_mode():
+        with ops.use_backend("pallas"):
+            out = np.asarray(cfg.apply(params, gb))
+    np.testing.assert_allclose(out, ref, rtol=1e-6, atol=1e-6)
+
+
+def test_bsms_aligned_loader_matches_plain_and_pallas():
+    """BSMS over an aligned loader (hierarchy level-0 re-indexed via
+    realign_level0) must equal the plain-layout result; under the pallas
+    backend the fused kernels then run on the fine scale."""
+    from aero_gnn_tpu.data import dataset as D
+    from aero_gnn_tpu.data.batching import Loader
+    from aero_gnn_tpu.data.synthetic import make_airfoil_dataset
+    from aero_gnn_tpu.models.bsms import BSMSConfig
+
+    samples = make_airfoil_dataset(n_cases=2, n_points=64, seed=9)
+    D.compute_features(samples, ["mach", "alpha"])
+    cfg = BSMSConfig(input_node_dim=6, input_edge_dim=3, output_node_dim=4,
+                     processor_size=4, num_scales=2,
+                     hidden_dim_processor=16, hidden_dim_node_encoder=16,
+                     hidden_dim_edge_encoder=16, hidden_dim_decoder=16,
+                     do_concat_trick=True, remat=False)
+    params = cfg.init(jax.random.PRNGKey(4))
+
+    def run(loader, backend):
+        outs = []
+        with ops.use_backend(backend):
+            for gb, aux in loader:
+                out = cfg.apply(params, gb, hierarchy=aux["hierarchy"])
+                n = int(gb.n_node)
+                outs.append(np.asarray(out)[:n])
+        return np.concatenate(outs)
+
+    plain = Loader(samples, batch_size=2, num_scales=2, align_edges=False)
+    aligned = Loader(samples, batch_size=2, num_scales=2, align_edges=True)
+    assert next(iter(aligned))[0].edges_aligned
+    ref = run(plain, "xla")
+    out_aligned = run(aligned, "xla")
+    np.testing.assert_allclose(out_aligned, ref, rtol=1e-5, atol=1e-5)
+    with pltpu.force_tpu_interpret_mode():
+        out_pallas = run(aligned, "pallas")
+    np.testing.assert_allclose(out_pallas, ref, rtol=3e-4, atol=3e-4)
