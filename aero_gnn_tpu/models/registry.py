@@ -61,6 +61,11 @@ def _mgn_kwargs(mc: Dict[str, Any], dims: Dict[str, int]) -> Dict[str, Any]:
         hidden_dim_decoder=h,
         num_hidden_layers_decoder=mc.get("num_hidden_layers_decoder", 1),
         dropout=mc.get("dropout", 0.0),
+        # TPU-native extensions (absent from the reference YAML; defaults
+        # match MGNConfig)
+        remat=mc.get("remat", True),
+        remat_policy=mc.get("remat_policy", "save_fused"),
+        compute_dtype=mc.get("compute_dtype", "float32"),
     )
 
 

@@ -167,6 +167,51 @@ def node_block_post(params, cfg: MGNLayerConfig,
     return M.mlp_apply(params, node_input, activation=cfg.activation)
 
 
+def _fused_node_ok(params, cfg: MGNLayerConfig, node_attr) -> bool:
+    """Gate for the fused node-block kernel: square ReLU+LN chain over
+    row-block-divisible N (no edge-alignment requirement — dense only)."""
+    import os
+
+    from aero_gnn_tpu import ops as _ops
+
+    if _ops.backend() != "pallas" or cfg.activation != "relu":
+        return False
+    if os.environ.get("AERO_GNN_FUSED_NODE", "1") != "1":
+        return False
+    n, h = node_attr.shape
+    if n % 256 != 0:
+        return False
+    lins = params["linears"]
+    if params["ln"] is None or len(lins) < 2:
+        return False
+    if lins[0]["w"].shape != (2 * h, h) or lins[-1]["w"].shape != (h, h):
+        return False
+    return all(lin["w"].shape == (h, h) for lin in lins[1:-1])
+
+
+def node_block_post_residual(params, cfg: MGNLayerConfig,
+                             node_attr: jax.Array,
+                             edge_aggr: jax.Array) -> jax.Array:
+    """x + NodeBlock(x, agg), routed to the fused Pallas kernel when legal."""
+    if not _fused_node_ok(params, cfg, node_attr):
+        return node_attr + node_block_post(params, cfg, node_attr, edge_aggr)
+    from aero_gnn_tpu.ops.pallas_node import fused_node_layer
+
+    h = node_attr.shape[1]
+    lins = params["linears"]
+    w1 = lins[0]["w"]
+    hidden = lins[1:-1]
+    ws = (jnp.stack([lin["w"] for lin in hidden]) if hidden
+          else jnp.zeros((0, h, h), node_attr.dtype))
+    bs = (jnp.stack([lin["b"] for lin in hidden]) if hidden
+          else jnp.zeros((0, h), node_attr.dtype))
+    return fused_node_layer(
+        node_attr, edge_aggr.astype(node_attr.dtype),
+        w1[:h], w1[h:], lins[0]["b"], ws, bs,
+        lins[-1]["w"], lins[-1]["b"],
+        params["ln"]["scale"], params["ln"]["bias"])
+
+
 def node_block_apply(
     params, cfg: MGNLayerConfig,
     node_attr: jax.Array, edge_attr: jax.Array,
@@ -243,8 +288,8 @@ def _mgn_layer_fused(params, cfg: MGNLayerConfig, node_attr, edge_attr,
         deg = ops.degree(receivers, node_attr.shape[0], mask=edge_mask,
                          dtype=agg.dtype)
         agg = agg / jnp.maximum(deg, 1.0)[:, None]
-    node_attr = node_attr + node_block_post(params["node"], cfg,
-                                            node_attr, agg)
+    node_attr = node_block_post_residual(params["node"], cfg,
+                                         node_attr, agg)
     return node_attr, edge_attr
 
 

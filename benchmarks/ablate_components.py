@@ -105,11 +105,14 @@ def main():
         def gath(carry, ws):
             x, e = carry
             w_s, w_d = ws
+            # the real model's per-layer XLA ops: two projections + the
+            # sender gather (the receiver gather lives inside the kernel,
+            # so d_proj only feeds a [N, h] elementwise consumer here)
             sg = ops.gather_senders(x @ w_s, senders, sender_perm,
-                                    senders_sorted)
-            dg = ops.gather_receivers(x @ w_d, receivers)
-            return (x, e + sg + dg)
-        timed("proj+gathers x15", gath, ((x0, e0),))
+                                    senders_sorted, aligned=True)
+            d_proj = x @ w_d
+            return (x + d_proj * jnp.asarray(1e-6, dt), e + sg)
+        timed("proj+sender-gather x15", gath, ((x0, e0),))
 
         # B: fused edge layer only (fixed sg/dg)
         ws_stack = (We, Wh, bh, Wo, bo, scale, bias)
@@ -145,10 +148,10 @@ def main():
             x, e = carry
             w_s, w_d, w_e, wh, bhh, w_o, b_o, w1, w2, w3, sc, bi = ws
             sg = ops.gather_senders(x @ w_s, senders, sender_perm,
-                                    senders_sorted)
-            dg = ops.gather_receivers(x @ w_d, receivers)
+                                    senders_sorted, aligned=True)
+            d_proj = x @ w_d  # receiver gather happens inside the kernel
             e2, agg = fused_edge_layer(
-                e, sg, dg, emask, receivers, w_e, wh, bhh, w_o, b_o,
+                e, sg, d_proj, emask, receivers, w_e, wh, bhh, w_o, b_o,
                 sc, bi, N, "relu")
             z = jnp.concatenate([x, agg.astype(dt)], axis=-1)
             z = jnp.maximum(z @ w1, 0)

@@ -352,3 +352,96 @@ def test_bsms_aligned_loader_matches_plain_and_pallas():
     with pltpu.force_tpu_interpret_mode():
         out_pallas = run(aligned, "pallas")
     np.testing.assert_allclose(out_pallas, ref, rtol=3e-4, atol=3e-4)
+
+
+class TestFusedNodeLayer:
+    def _data(self, n=512, h=16, n_hidden=2, seed=11):
+        rng = np.random.default_rng(seed)
+        f = lambda *s: jnp.asarray(
+            rng.standard_normal(s).astype(np.float32) * 0.1)
+        x = f(n, h) * 10
+        agg = f(n, h) * 10
+        p = dict(w1x=f(h, h), w1a=f(h, h), b1=f(h), ws=f(n_hidden, h, h),
+                 bs=f(n_hidden, h), w_out=f(h, h), b_out=f(h),
+                 ln_scale=jnp.ones(h), ln_bias=jnp.zeros(h))
+        return x, agg, p
+
+    def test_fused_node_matches_equivalent(self):
+        from aero_gnn_tpu.ops import pallas_node as PN
+        x, agg, p = self._data()
+        args = (x, agg, p["w1x"], p["w1a"], p["b1"], p["ws"], p["bs"],
+                p["w_out"], p["b_out"], p["ln_scale"], p["ln_bias"])
+        with pltpu.force_tpu_interpret_mode():
+            out = PN.fused_node_layer(*args)
+        ref = PN._equiv(*args)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_fused_node_no_hidden(self):
+        from aero_gnn_tpu.ops import pallas_node as PN
+        x, agg, p = self._data(n=256, n_hidden=2)
+        args = (x, agg, p["w1x"], p["w1a"], p["b1"],
+                jnp.zeros((0, 16, 16)), jnp.zeros((0, 16)),
+                p["w_out"], p["b_out"], p["ln_scale"], p["ln_bias"])
+        with pltpu.force_tpu_interpret_mode():
+            out = PN.fused_node_layer(*args)
+        ref = PN._equiv(*args)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_fused_node_grads_match_equivalent(self):
+        from aero_gnn_tpu.ops import pallas_node as PN
+        x, agg, p = self._data(seed=12)
+        probe = jnp.asarray(
+            np.random.default_rng(13).standard_normal(x.shape)
+            .astype(np.float32))
+        argnames = ["w1x", "w1a", "b1", "ws", "bs", "w_out", "b_out",
+                    "ln_scale", "ln_bias"]
+
+        def loss(fn, x, agg, *weights):
+            return jnp.sum(fn(x, agg, *weights) * probe)
+
+        weights = tuple(p[k] for k in argnames)
+        with pltpu.force_tpu_interpret_mode():
+            g1 = jax.grad(lambda *a: loss(PN.fused_node_layer, *a),
+                          argnums=tuple(range(len(weights) + 2)))(
+                x, agg, *weights)
+        g2 = jax.grad(lambda *a: loss(PN._equiv, *a),
+                      argnums=tuple(range(len(weights) + 2)))(
+            x, agg, *weights)
+        for a, b, name in zip(g1, g2, ["x", "agg"] + argnames):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4,
+                err_msg=f"grad mismatch for {name}")
+
+    def test_mgn_layer_routes_to_fused_node(self, aligned_graph, monkeypatch):
+        """Full fused MGN layer (edge kernel + node kernel) still matches
+        the unfused XLA composition."""
+        from aero_gnn_tpu.nn import blocks as B
+        g, gb = aligned_graph
+        h = 16
+        cfg = B.MGNLayerConfig(node_dim=h, edge_dim=h, hidden_dim=h,
+                               num_hidden_layers_node=2,
+                               num_hidden_layers_edge=2,
+                               do_concat_trick=True)
+        params = B.mgn_layer_init(jax.random.PRNGKey(2), cfg)
+        rng = np.random.default_rng(21)
+        x = jnp.asarray(rng.standard_normal(
+            (gb.num_nodes_pad, h)).astype(np.float32))
+        e = jnp.asarray(rng.standard_normal(
+            (gb.num_edges_pad, h)).astype(np.float32))
+        args = (params, cfg, x, e, gb.senders, gb.receivers, gb.edge_mask,
+                gb.sender_perm, gb.senders_sorted, True)
+        with ops.use_backend("xla"):
+            x_ref, e_ref = B.mgn_layer_apply(*args)
+        with ops.use_backend("pallas"), pltpu.force_tpu_interpret_mode():
+            assert B._fused_node_ok(params["node"], cfg, x)
+            x_out, e_out = B.mgn_layer_apply(*args)
+        np.testing.assert_allclose(np.asarray(x_out), np.asarray(x_ref),
+                                   rtol=3e-4, atol=3e-4)
+        # pad-edge rows of the fused kernel carry masked-gather garbage by
+        # design (never observable); compare real edges only
+        real = np.asarray(gb.edge_mask) > 0
+        np.testing.assert_allclose(np.asarray(e_out)[real],
+                                   np.asarray(e_ref)[real],
+                                   rtol=3e-4, atol=3e-4)
