@@ -45,6 +45,9 @@ class PadSpec:
     num_edges_pad: int
     num_graphs_pad: int
     hierarchy_pad_plan: Optional[List[Tuple[int, int]]] = None
+    # fixed aligned coarse-edge counts per level (align_edges loaders), so
+    # every batch compiles to one shape
+    hierarchy_aligned_edges: Optional[List[int]] = None
 
 
 def compute_pad_spec(samples: List[MeshSample], batch_size: int,
@@ -75,14 +78,26 @@ def compute_pad_spec(samples: List[MeshSample], batch_size: int,
     if hierarchy_levels is not None:
         n_lvls = len(hierarchy_levels[0])
         plan = []
+        aligned_plan = []
         for s_idx in range(n_lvls):
             cns = sorted((lv[s_idx]["num_nodes"] for lv in hierarchy_levels),
                          reverse=True)
             ces = sorted((lv[s_idx]["num_edges"] for lv in hierarchy_levels),
                          reverse=True)
-            plan.append((bucket_size(sum(cns[:batch_size]) + 1),
-                         bucket_size(sum(ces[:batch_size]))))
+            nc_pad = bucket_size(sum(cns[:batch_size]) + 1)
+            ec_pad = bucket_size(sum(ces[:batch_size]))
+            plan.append((nc_pad, ec_pad))
+            if align_edges:
+                # worst-case aligned coarse edge budget: up to one extra
+                # tile per coarse node block (hierarchy.align_hierarchy)
+                nc2 = max(_round_up(nc_pad, ALIGN_NODE_BLOCK),
+                          ALIGN_NODE_BLOCK)
+                n_blocks = nc2 // ALIGN_NODE_BLOCK
+                aligned_plan.append(_round_up(
+                    sum(ces[:batch_size]) + n_blocks * ALIGN_EDGE_TILE,
+                    ALIGN_EDGE_TILE))
         spec.hierarchy_pad_plan = plan
+        spec.hierarchy_aligned_edges = aligned_plan if align_edges else None
     return spec
 
 
@@ -110,10 +125,10 @@ class Loader:
         self._epoch = 0
         if align_edges is None:
             # Pallas kernels require the block-aligned layout. With a BSMS
-            # hierarchy, level-0 fine-edge artifacts (edge_to_coarse /
-            # edge_weights) are re-indexed onto the aligned rows
-            # (hierarchy.realign_level0); coarse-level streams stay plain
-            # and run on the XLA ops.
+            # hierarchy, every level is aligned (hierarchy.align_hierarchy):
+            # level-0 fine-edge artifacts follow the GraphBatch alignment
+            # and coarse streams get their own block alignment, so the
+            # fused kernels run on all scales.
             from aero_gnn_tpu import ops as _ops
             align_edges = _ops.backend() == "pallas"
         self.align_edges = align_edges
@@ -166,6 +181,12 @@ class Loader:
                     pad_plan=self.pad_spec.hierarchy_pad_plan,
                 )
                 if amap is not None:
-                    levels[0] = H.realign_level0(levels[0], amap)
+                    # align EVERY level: level-0 fine rows follow the
+                    # GraphBatch alignment, coarse streams get their own
+                    # block alignment so Pallas runs on all scales
+                    levels = H.align_hierarchy(
+                        levels, amap,
+                        edge_pad_targets=self.pad_spec
+                        .hierarchy_aligned_edges)
                 aux["hierarchy"] = tuple(levels)
             yield gb, aux

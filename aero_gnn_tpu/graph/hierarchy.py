@@ -68,6 +68,18 @@ class HierarchyLevel:
     node_weights: jax.Array  # f32[Nf] weight of each fine node in its coarse mean
     edge_weights: jax.Array  # f32[Ef] weight of each fine edge in its coarse mean
 
+    # Pallas aggregation layout for the COARSE edge stream (present when the
+    # hierarchy was aligned via align_hierarchy; same contract as
+    # GraphBatch.tile_block/tile_first)
+    tile_block: Optional[jax.Array] = None  # i32[T]
+    tile_first: Optional[jax.Array] = None  # i32[T]
+
+    @property
+    def edges_aligned(self) -> bool:
+        """True iff the coarse streams carry the block-aligned layout the
+        Pallas kernels require. Gates Pallas dispatch on coarse levels."""
+        return self.tile_block is not None
+
     @property
     def num_coarse_nodes_pad(self) -> int:
         return self.node_mask.shape[0]
@@ -498,3 +510,143 @@ def build_hierarchy(
         nf_pad = level.num_coarse_nodes_pad
         ef_pad = level.num_coarse_edges_pad
     return levels
+
+
+def align_hierarchy(
+    levels: List[HierarchyLevel],
+    align_src0: Optional[np.ndarray] = None,
+    *,
+    edge_pad_targets: Optional[List[int]] = None,
+) -> List[HierarchyLevel]:
+    """Block-align EVERY level of a hierarchy for the Pallas kernels.
+
+    Two coupled transformations, applied level by level:
+
+      1. fine-side re-indexing — level s's fine-row artifacts
+         (edge_to_coarse / edge_weights on edge rows, fine_to_coarse /
+         node_weights on node rows) are moved onto the aligned layout of the
+         stream they index: level 0 follows the GraphBatch alignment
+         (``align_src0`` from build_graph_batch(return_align_map=True),
+         exactly what realign_level0 did), level s>0 follows the alignment
+         applied to level s-1's coarse stream in the previous iteration.
+      2. coarse-side alignment — the coarse node padding is extended to an
+         ALIGN_NODE_BLOCK multiple and the coarse edge stream is re-laid-out
+         so each node block's edges fill whole ALIGN_EDGE_TILE tiles
+         (padded.build_graph_batch(align_edges=True) contract), including
+         the aligned sender-sorted view for the gather-transpose backward.
+
+    ``edge_pad_targets[s]`` optionally fixes the aligned coarse edge count of
+    level s so every batch of a dataset compiles to one shape (the coarse
+    analogue of PadSpec.num_edges_pad); it must be an ALIGN_EDGE_TILE
+    multiple at least as large as the aligned stream.
+    """
+    from aero_gnn_tpu.graph.padded import (
+        ALIGN_EDGE_TILE as ET,
+        ALIGN_NODE_BLOCK as NB,
+        _align_edge_blocks,
+        _align_sender_stream,
+        _round_up,
+    )
+
+    out: List[HierarchyLevel] = []
+    prev_src = None if align_src0 is None else np.asarray(align_src0)
+    prev_nf_new: Optional[int] = None
+    for s, level in enumerate(levels):
+        f2c = np.asarray(level.fine_to_coarse)
+        e2c = np.asarray(level.edge_to_coarse)
+        nw = np.asarray(level.node_weights)
+        ew = np.asarray(level.edge_weights)
+        nc_pad = level.num_coarse_nodes_pad
+        ec_pad = level.num_coarse_edges_pad
+
+        # ---- 1. re-index fine rows through the previous alignment ----
+        if prev_src is not None:
+            ok = prev_src >= 0
+            idx = np.where(ok, prev_src, 0)
+            e2c = np.where(ok, e2c[idx], ec_pad - 1).astype(np.int32)
+            ew = np.where(ok, ew[idx], 0.0).astype(ew.dtype)
+        if prev_nf_new is not None and prev_nf_new > len(f2c):
+            extra = prev_nf_new - len(f2c)
+            f2c = np.concatenate(
+                [f2c, np.full(extra, nc_pad - 1, f2c.dtype)])
+            nw = np.concatenate([nw, np.zeros(extra, nw.dtype)])
+
+        # ---- 2a. extend coarse node padding to a block multiple ----
+        nc2 = max(_round_up(nc_pad, NB), NB)
+        node_mask = np.asarray(level.node_mask)
+        node_graph = np.asarray(level.node_graph)
+        if nc2 != nc_pad:
+            node_mask = np.concatenate(
+                [node_mask, np.zeros(nc2 - nc_pad, node_mask.dtype)])
+            fill_g = node_graph[-1] if len(node_graph) else 0
+            node_graph = np.concatenate(
+                [node_graph, np.full(nc2 - nc_pad, fill_g,
+                                     node_graph.dtype)])
+
+        # ---- 2b. align the coarse edge stream ----
+        n_real = int(level.n_edge)
+        s_real = np.asarray(level.senders)[:n_real].astype(np.int32)
+        r_real = np.asarray(level.receivers)[:n_real].astype(np.int32)
+        dummy = np.zeros((n_real, 1), np.float32)
+        s2, r2, _, valid, tb, tf = _align_edge_blocks(
+            s_real, r_real, dummy, nc2, np.float32)
+        ec2 = _round_up(len(s2), ET)
+        if edge_pad_targets is not None:
+            target = edge_pad_targets[s]
+            if target < ec2 or target % ET:
+                raise ValueError(
+                    f"edge_pad_targets[{s}]={target} incompatible with "
+                    f"aligned coarse edge count {ec2} (tile {ET})")
+            ec2 = target
+        pad_node = nc2 - 1
+        s_p = np.full(ec2, pad_node, np.int32)
+        r_p = np.full(ec2, pad_node, np.int32)
+        s_p[:len(s2)] = s2
+        r_p[:len(r2)] = r2
+        em = np.zeros(ec2, np.asarray(level.edge_mask).dtype)
+        em[:len(valid)] = valid.astype(em.dtype)
+
+        # tile bookkeeping incl. the pad tail (build_graph_batch contract)
+        n_tiles = ec2 // ET
+        last_block = nc2 // NB - 1
+        tb_full = np.full(n_tiles, last_block, np.int32)
+        tf_full = np.zeros(n_tiles, np.int32)
+        tb_full[:len(tb)] = tb
+        tf_full[:len(tf)] = tf
+        if len(tb) < n_tiles and (len(tb) == 0 or tb[-1] != last_block):
+            tf_full[len(tb)] = 1
+
+        # old coarse edge row -> aligned row (pads route to a masked slot;
+        # contributions through them are edge-mask-zeroed regardless)
+        new_rows = np.flatnonzero(valid)
+        new_of_old = np.full(ec_pad, ec2 - 1, np.int64)
+        new_of_old[:n_real] = new_rows
+        e2c = new_of_old[np.clip(e2c, 0, ec_pad - 1)].astype(np.int32)
+
+        # aligned sender-sorted view
+        sperm = np.argsort(s_p, kind="stable").astype(np.int32)
+        ssort = s_p[sperm]
+        sperm, ssort = _align_sender_stream(sperm, ssort, em, nc2)
+
+        out.append(dataclasses.replace(
+            level,
+            fine_to_coarse=jnp.asarray(f2c.astype(np.int32)),
+            edge_to_coarse=jnp.asarray(e2c),
+            senders=jnp.asarray(s_p),
+            receivers=jnp.asarray(r_p),
+            sender_perm=jnp.asarray(sperm),
+            senders_sorted=jnp.asarray(ssort),
+            node_mask=jnp.asarray(node_mask),
+            edge_mask=jnp.asarray(em),
+            node_graph=jnp.asarray(node_graph),
+            node_weights=jnp.asarray(nw),
+            edge_weights=jnp.asarray(ew),
+            tile_block=jnp.asarray(tb_full),
+            tile_first=jnp.asarray(tf_full),
+        ))
+
+        # maps for the NEXT level's fine side
+        prev_src = np.full(ec2, -1, np.int64)
+        prev_src[new_rows] = np.arange(n_real, dtype=np.int64)
+        prev_nf_new = nc2
+    return out

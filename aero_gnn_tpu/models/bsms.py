@@ -93,9 +93,11 @@ class BSMSConfig(MGNConfig):
                 f"hierarchy has {len(hierarchy)} levels, expected "
                 f"{self.num_scales - 1}")
         # The level-0 (fine) streams inherit the GraphBatch's block
-        # alignment, so the fused Pallas path runs on the finest — and by
-        # far largest — scale; coarse-level streams from the hierarchy
-        # builder are not aligned and stay on the XLA ops.
+        # alignment; coarse-level streams are aligned too when the
+        # hierarchy went through graph.hierarchy.align_hierarchy (the
+        # loader's pallas path), so the fused kernels run on every scale.
+        # Unaligned hierarchies (built directly via build_hierarchy) keep
+        # coarse levels on the XLA ops.
         return self._apply(params, graph, hierarchy, rng)
 
     def _apply(self, params, graph, hierarchy, rng):
@@ -145,7 +147,11 @@ class BSMSConfig(MGNConfig):
             senders, receivers = level.senders, level.receivers
             node_mask, edge_mask = level.node_mask, level.edge_mask
             sperm, ssort = level.sender_perm, level.senders_sorted
-            aligned = False  # hierarchy levels are not block-aligned
+            # coarse streams are block-aligned when the hierarchy went
+            # through graph.hierarchy.align_hierarchy (loader does this
+            # under the pallas backend) — then the fused kernels run on
+            # every scale, not just the finest
+            aligned = level.edges_aligned
 
         # ---- bottleneck ----
         x, e = run_processor(params["bottleneck"], self.layer_cfg, x, e,
