@@ -117,13 +117,32 @@ def make_airfoil_dataset(*, n_cases: int = 24, n_points: int = 256,
     return samples
 
 
+def morton_order(pos: np.ndarray, bits: int = 16) -> np.ndarray:
+    """Permutation sorting 2D points by Morton (Z-order) code. Spatially
+    close nodes get close indices — the id locality real mesh generators
+    produce, and what makes node->edge gathers HBM-friendly."""
+    q = np.clip((pos - pos.min(0)) / np.maximum(np.ptp(pos, 0), 1e-12)
+                * (2**bits - 1), 0, 2**bits - 1).astype(np.uint64)
+    code = np.zeros(len(pos), dtype=np.uint64)
+    for b in range(bits):
+        code |= ((q[:, 0] >> np.uint64(b)) & np.uint64(1)) << np.uint64(2 * b)
+        code |= ((q[:, 1] >> np.uint64(b)) & np.uint64(1)) \
+            << np.uint64(2 * b + 1)
+    return np.argsort(code, kind="stable")
+
+
 def make_random_mesh_sample(*, n_nodes: int, avg_degree: int = 6,
                             seed: int = 0, dy: int = 4,
+                            spatial_sort: bool = True,
                             dtype=np.float32) -> MeshSample:
     """Irregular random planar-ish mesh for benchmarks: k-NN graph over
-    random points, symmetrized. Degree distribution is mesh-like."""
+    random points, symmetrized. Degree distribution is mesh-like.
+    ``spatial_sort`` orders node ids by Morton code (the id locality real
+    mesh files have)."""
     rng = np.random.default_rng(seed)
     pos = rng.random((n_nodes, 2))
+    if spatial_sort:
+        pos = pos[morton_order(pos)]
     k = max(2, avg_degree // 2)
     try:
         from scipy.spatial import cKDTree

@@ -33,7 +33,9 @@ def get_mesh(n_nodes, avg_degree=6, seed=0):
     cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          ".bench_cache")
     os.makedirs(cache, exist_ok=True)
-    path = os.path.join(cache, f"mesh_{n_nodes}_{avg_degree}_{seed}.npz")
+    # v2: nodes Morton-ordered (synthetic.make_random_mesh_sample
+    # spatial_sort) — id locality matching real mesh files
+    path = os.path.join(cache, f"mesh_{n_nodes}_{avg_degree}_{seed}_v2.npz")
     if os.path.exists(path):
         z = np.load(path)
         return {k: z[k] for k in z.files}
