@@ -512,15 +512,53 @@ def build_hierarchy(
     return levels
 
 
+def _balance_block_slots(weights: np.ndarray, n_blocks: int, nb: int,
+                         reserve_last: bool = True) -> np.ndarray:
+    """Assign each weighted item a slot in [0, n_blocks*nb) so that per-block
+    weight sums are balanced (greedy min-load, heaviest first). Used to
+    relabel coarse node ids so every ALIGN_NODE_BLOCK node block's in+out
+    degree fits few whole edge tiles — without it, bistride coarse graphs
+    land at ~54% edge-tile fill (avg block load just above one tile).
+
+    The last slot of the last block is reserved (pad-edge sink) when
+    ``reserve_last``. Returns i64[len(weights)] slot ids. Deterministic.
+    """
+    import heapq
+
+    n = len(weights)
+    caps = np.full(n_blocks, nb, np.int64)
+    if reserve_last:
+        caps[-1] -= 1
+    if n > int(caps.sum()):
+        raise ValueError(
+            f"balance: {n} items exceed capacity {int(caps.sum())}")
+    order = np.argsort(-weights, kind="stable")
+    heap = [(0.0, b) for b in range(n_blocks)]
+    heapq.heapify(heap)
+    count = np.zeros(n_blocks, np.int64)
+    slots = np.empty(n, np.int64)
+    for i in order:
+        while True:
+            load, b = heapq.heappop(heap)
+            if count[b] < caps[b]:
+                break
+        slots[i] = b * nb + count[b]
+        count[b] += 1
+        if count[b] < caps[b]:
+            heapq.heappush(heap, (load + float(weights[i]), b))
+    return slots
+
+
 def align_hierarchy(
     levels: List[HierarchyLevel],
     align_src0: Optional[np.ndarray] = None,
     *,
     edge_pad_targets: Optional[List[int]] = None,
+    balance_blocks: bool = True,
 ) -> List[HierarchyLevel]:
     """Block-align EVERY level of a hierarchy for the Pallas kernels.
 
-    Two coupled transformations, applied level by level:
+    Three coupled transformations, applied level by level:
 
       1. fine-side re-indexing — level s's fine-row artifacts
          (edge_to_coarse / edge_weights on edge rows, fine_to_coarse /
@@ -529,7 +567,14 @@ def align_hierarchy(
          (``align_src0`` from build_graph_batch(return_align_map=True),
          exactly what realign_level0 did), level s>0 follows the alignment
          applied to level s-1's coarse stream in the previous iteration.
-      2. coarse-side alignment — the coarse node padding is extended to an
+      2. (``balance_blocks``) degree-balanced coarse relabeling — coarse
+         node ids are reassigned so per-ALIGN_NODE_BLOCK degree sums are
+         even, cutting edge-tile padding (bistride coarse levels: ~54% ->
+         ~90% fill). Coarse ids have no external contract (all consumers go
+         through fine_to_coarse / edge_to_coarse / the coarse streams, which
+         are relabeled together); outputs are bitwise-invariant only per
+         coarse-segment, so aligned-vs-unaligned parity tests use allclose.
+      3. coarse-side alignment — the coarse node padding is extended to an
          ALIGN_NODE_BLOCK multiple and the coarse edge stream is re-laid-out
          so each node block's edges fill whole ALIGN_EDGE_TILE tiles
          (padded.build_graph_batch(align_edges=True) contract), including
@@ -550,6 +595,7 @@ def align_hierarchy(
 
     out: List[HierarchyLevel] = []
     prev_src = None if align_src0 is None else np.asarray(align_src0)
+    prev_node_map: Optional[np.ndarray] = None  # old fine row -> new row
     prev_nf_new: Optional[int] = None
     for s, level in enumerate(levels):
         f2c = np.asarray(level.fine_to_coarse)
@@ -565,7 +611,16 @@ def align_hierarchy(
             idx = np.where(ok, prev_src, 0)
             e2c = np.where(ok, e2c[idx], ec_pad - 1).astype(np.int32)
             ew = np.where(ok, ew[idx], 0.0).astype(ew.dtype)
-        if prev_nf_new is not None and prev_nf_new > len(f2c):
+        if prev_node_map is not None:
+            # previous level's coarse rows were relabeled: scatter this
+            # level's fine-node artifacts onto the new rows
+            assert prev_nf_new is not None
+            f2c_new = np.full(prev_nf_new, nc_pad - 1, f2c.dtype)
+            nw_new = np.zeros(prev_nf_new, nw.dtype)
+            f2c_new[prev_node_map] = f2c[:len(prev_node_map)]
+            nw_new[prev_node_map] = nw[:len(prev_node_map)]
+            f2c, nw = f2c_new, nw_new
+        elif prev_nf_new is not None and prev_nf_new > len(f2c):
             extra = prev_nf_new - len(f2c)
             f2c = np.concatenate(
                 [f2c, np.full(extra, nc_pad - 1, f2c.dtype)])
@@ -583,13 +638,50 @@ def align_hierarchy(
                 [node_graph, np.full(nc2 - nc_pad, fill_g,
                                      node_graph.dtype)])
 
-        # ---- 2b. align the coarse edge stream ----
         n_real = int(level.n_edge)
-        s_real = np.asarray(level.senders)[:n_real].astype(np.int32)
-        r_real = np.asarray(level.receivers)[:n_real].astype(np.int32)
+        s_real = np.asarray(level.senders)[:n_real].astype(np.int64)
+        r_real = np.asarray(level.receivers)[:n_real].astype(np.int64)
+        nc_real = int(level.n_node)
+
+        # ---- 2b. degree-balanced coarse node relabeling ----
+        node_map: Optional[np.ndarray] = None  # old coarse id -> new id
+        if balance_blocks and nc_real > 0:
+            deg = (np.bincount(r_real, minlength=nc_pad)
+                   + np.bincount(s_real, minlength=nc_pad))
+            node_map = np.empty(nc_pad, np.int64)
+            node_map[:nc_real] = _balance_block_slots(
+                deg[:nc_real].astype(np.float64), nc2 // NB, NB)
+            # old pad ids -> leftover slots; old pad sink -> new pad sink
+            free = np.setdiff1d(np.arange(nc2, dtype=np.int64),
+                                node_map[:nc_real], assume_unique=False)
+            take = nc_pad - nc_real
+            node_map[nc_real:] = free[-take:] if take else free[:0]
+            node_map[nc_pad - 1] = nc2 - 1
+            # relabel everything that carries coarse node ids
+            f2c = node_map[np.clip(f2c, 0, nc_pad - 1)].astype(f2c.dtype)
+            s_real = node_map[s_real]
+            r_real = node_map[r_real]
+            nm2 = np.zeros(nc2, node_mask.dtype)
+            ng2 = np.full(nc2, node_graph[-1] if len(node_graph) else 0,
+                          node_graph.dtype)
+            nm2[node_map[:nc_real]] = 1.0
+            ng2[node_map] = node_graph[:nc_pad]
+            node_mask, node_graph = nm2, ng2
+            # restore the receiver-sorted invariant; remap coarse-edge rows
+            sort_perm = np.lexsort((s_real, r_real))
+            s_real = s_real[sort_perm]
+            r_real = r_real[sort_perm]
+            inv_sort = np.empty_like(sort_perm)
+            inv_sort[sort_perm] = np.arange(len(sort_perm))
+        else:
+            sort_perm = np.arange(n_real, dtype=np.int64)
+            inv_sort = sort_perm
+
+        # ---- 2c. align the coarse edge stream ----
         dummy = np.zeros((n_real, 1), np.float32)
         s2, r2, _, valid, tb, tf = _align_edge_blocks(
-            s_real, r_real, dummy, nc2, np.float32)
+            s_real.astype(np.int32), r_real.astype(np.int32), dummy, nc2,
+            np.float32)
         ec2 = _round_up(len(s2), ET)
         if edge_pad_targets is not None:
             target = edge_pad_targets[s]
@@ -616,12 +708,13 @@ def align_hierarchy(
         if len(tb) < n_tiles and (len(tb) == 0 or tb[-1] != last_block):
             tf_full[len(tb)] = 1
 
-        # old coarse edge row -> aligned row (pads route to a masked slot;
-        # contributions through them are edge-mask-zeroed regardless)
-        new_rows = np.flatnonzero(valid)
-        new_of_old = np.full(ec_pad, ec2 - 1, np.int64)
-        new_of_old[:n_real] = new_rows
-        e2c = new_of_old[np.clip(e2c, 0, ec_pad - 1)].astype(np.int32)
+        # old coarse edge row -> aligned row, through the balance resort
+        # (pads route to a masked slot; contributions through them are
+        # edge-mask-zeroed regardless)
+        new_rows = np.flatnonzero(valid)  # aligned row of sorted position k
+        aligned_of_old = np.full(ec_pad, ec2 - 1, np.int64)
+        aligned_of_old[sort_perm] = new_rows
+        e2c = aligned_of_old[np.clip(e2c, 0, ec_pad - 1)].astype(np.int32)
 
         # aligned sender-sorted view
         sperm = np.argsort(s_p, kind="stable").astype(np.int32)
@@ -645,8 +738,10 @@ def align_hierarchy(
             tile_first=jnp.asarray(tf_full),
         ))
 
-        # maps for the NEXT level's fine side
+        # maps for the NEXT level's fine side: aligned edge row -> old
+        # (pre-balance-sort) edge row, and old coarse id -> new node row
         prev_src = np.full(ec2, -1, np.int64)
-        prev_src[new_rows] = np.arange(n_real, dtype=np.int64)
+        prev_src[new_rows] = sort_perm
+        prev_node_map = node_map
         prev_nf_new = nc2
     return out

@@ -48,7 +48,7 @@ def main():
             compute_dtype="bfloat16")
 
     with ops.use_backend("pallas"):
-        for name, psize in [("enc+dec only (0 layers)", 0),
+        for name, psize in [("enc+dec + 1 layer", 1),
                             ("full model (15 layers)", 15)]:
             cfg = build(psize)
             params = cfg.init(jax.random.PRNGKey(0))

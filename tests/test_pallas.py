@@ -316,6 +316,62 @@ def test_unaligned_divisible_graph_is_safe_under_pallas_backend():
     np.testing.assert_allclose(out, ref, rtol=1e-6, atol=1e-6)
 
 
+def test_align_hierarchy_balanced_three_scales_matches_plain():
+    """Deep (3-scale) aligned hierarchy with degree-balanced coarse
+    relabeling must reproduce the plain-layout BSMS forward, and the
+    balancing must actually raise coarse edge-tile fill. Exercises the
+    cross-level re-indexing (prev_node_map / prev_src chaining) that a
+    2-scale hierarchy never touches."""
+    from aero_gnn_tpu.data import dataset as D
+    from aero_gnn_tpu.data.synthetic import make_random_mesh_sample
+    from aero_gnn_tpu.graph import hierarchy as H
+    from aero_gnn_tpu.graph.padded import bucket_size
+    from aero_gnn_tpu.models.bsms import BSMSConfig
+
+    s = make_random_mesh_sample(n_nodes=4096, avg_degree=6, seed=5)
+    D.compute_features([s], ["mach", "alpha"])
+    mesh = dict(senders=s.senders, receivers=s.receivers, x=s.x,
+                edge_attr=s.edge_attr, pos=s.pos, y=s.y)
+    np_pad = padded._round_up(s.num_nodes + 1, 512)
+    g_plain = padded.build_graph_batch(**mesh, num_nodes_pad=np_pad)
+    g_al, amap = padded.build_graph_batch(
+        **mesh, num_nodes_pad=np_pad, align_edges=True,
+        return_align_map=True)
+    real = H.build_hierarchy_real(
+        senders=s.senders, receivers=s.receivers,
+        node_graph=np.zeros(s.num_nodes, np.int64), num_nodes=s.num_nodes,
+        pos=s.pos.astype(np.float64), num_scales=3, mode="bistride")
+    plan = [(bucket_size(lv["num_nodes"] + 1), bucket_size(lv["num_edges"]))
+            for lv in real]
+    lv_plain = H.collate_hierarchies(
+        [real], num_fine_nodes_pad=g_plain.num_nodes_pad,
+        num_fine_edges_pad=g_plain.num_edges_pad, pad_plan=plan)
+    lv_base = H.collate_hierarchies(
+        [real], num_fine_nodes_pad=g_al.num_nodes_pad,
+        num_fine_edges_pad=g_al.num_edges_pad, pad_plan=plan)
+
+    cfg = BSMSConfig(input_node_dim=6, input_edge_dim=3, output_node_dim=4,
+                     processor_size=5, num_scales=3,
+                     hidden_dim_processor=16, hidden_dim_node_encoder=16,
+                     hidden_dim_edge_encoder=16, hidden_dim_decoder=16,
+                     do_concat_trick=True, remat=False,
+                     hierarchy_mode="bistride")
+    params = cfg.init(jax.random.PRNGKey(7))
+    nm = np.asarray(g_plain.node_mask) > 0
+    ref = np.asarray(cfg.apply(params, g_plain, hierarchy=tuple(lv_plain)))
+
+    unbal = H.align_hierarchy(lv_base, amap, balance_blocks=False)
+    bal = H.align_hierarchy(lv_base, amap, balance_blocks=True)
+    for al in (unbal, bal):
+        assert all(lv.edges_aligned for lv in al)
+        out = np.asarray(cfg.apply(params, g_al, hierarchy=tuple(al)))
+        np.testing.assert_allclose(out[nm], ref[nm], rtol=2e-5, atol=2e-5)
+    for s_idx in range(2):
+        fill_u = int(unbal[s_idx].n_edge) / unbal[s_idx].num_coarse_edges_pad
+        fill_b = int(bal[s_idx].n_edge) / bal[s_idx].num_coarse_edges_pad
+        assert fill_b >= fill_u
+
+
 def test_bsms_aligned_loader_matches_plain_and_pallas():
     """BSMS over an aligned loader (hierarchy level-0 re-indexed via
     realign_level0) must equal the plain-layout result; under the pallas
