@@ -88,14 +88,31 @@ def compute_pad_spec(samples: List[MeshSample], batch_size: int,
             ec_pad = bucket_size(sum(ces[:batch_size]))
             plan.append((nc_pad, ec_pad))
             if align_edges:
-                # worst-case aligned coarse edge budget: up to one extra
-                # tile per coarse node block (hierarchy.align_hierarchy)
                 nc2 = max(_round_up(nc_pad, ALIGN_NODE_BLOCK),
                           ALIGN_NODE_BLOCK)
                 n_blocks = nc2 // ALIGN_NODE_BLOCK
-                aligned_plan.append(_round_up(
-                    sum(ces[:batch_size]) + n_blocks * ALIGN_EDGE_TILE,
-                    ALIGN_EDGE_TILE))
+                worst_ce = sum(ces[:batch_size])
+                # naive worst case: one extra tile per coarse node block
+                naive = _round_up(
+                    worst_ce + n_blocks * ALIGN_EDGE_TILE, ALIGN_EDGE_TILE)
+                # align_hierarchy balances per-block degree sums (greedy
+                # min-load: max block load <= ceil(E/B) + max item weight),
+                # so the budget tightens to B * ceil((avg + dmax)/ET) tiles
+                # (+1 slack tile; align_hierarchy raises loudly if ever
+                # exceeded, it never silently drops edges)
+                dmax = 0
+                for lv in hierarchy_levels:
+                    l = lv[s_idx]
+                    if l["num_nodes"]:
+                        deg = (np.bincount(l["receivers"],
+                                           minlength=l["num_nodes"])
+                               + np.bincount(l["senders"],
+                                             minlength=l["num_nodes"]))
+                        dmax = max(dmax, int(deg.max()))
+                per_block = -(-worst_ce // n_blocks) + dmax
+                balanced = (n_blocks * (-(-per_block // ALIGN_EDGE_TILE))
+                            + 1) * ALIGN_EDGE_TILE
+                aligned_plan.append(min(naive, balanced))
         spec.hierarchy_pad_plan = plan
         spec.hierarchy_aligned_edges = aligned_plan if align_edges else None
     return spec
