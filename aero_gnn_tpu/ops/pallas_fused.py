@@ -53,6 +53,60 @@ NB = ALIGN_NODE_BLOCK
 ET = ALIGN_EDGE_TILE
 
 
+def ln_mxu_enabled() -> bool:
+    """LayerNorm statistics via skinny MXU matmuls instead of lane-dimension
+    VPU reductions (jnp.mean(axis=-1) is a cross-lane shuffle chain on TPU;
+    measured +0.157 ms/layer-fwd vs +0.042 with the matmul form,
+    benchmarks/ln_variants.py)."""
+    import os
+
+    return os.environ.get("AERO_GNN_LN_MXU", "1") == "1"
+
+
+def _ln_stats(d32, h):
+    """(mu, var) over the lane dim of a [rows, h] f32 tile."""
+    if ln_mxu_enabled():
+        ones = jnp.full((h, 1), 1.0 / h, jnp.float32)
+        mm = functools.partial(jax.lax.dot_general,
+                               dimension_numbers=(((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+        mu = mm(d32, ones)
+        var = mm(d32 * d32, ones) - mu * mu
+    else:
+        mu = jnp.mean(d32, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(d32 - mu), axis=-1, keepdims=True)
+    return mu, var
+
+
+def _ln_bwd(ct32, xn, inv, scale32):
+    """LayerNorm backward over a [rows, h] f32 tile -> (d_d, dscale, dbias).
+
+    Same math as the standard LN VJP; with ln_mxu_enabled() every reduction
+    (two lane means, two row sums) rides the MXU as a skinny matmul instead
+    of VPU shuffle-reduction chains.
+    """
+    rows, h = ct32.shape
+    t1 = ct32 * xn
+    g = ct32 * scale32
+    if ln_mxu_enabled():
+        mmc = functools.partial(jax.lax.dot_general,
+                                dimension_numbers=(((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        ones_h = jnp.full((h, 1), 1.0 / h, jnp.float32)
+        ones_rows = jnp.full((1, rows), 1.0, jnp.float32)
+        mean_g = mmc(g, ones_h)
+        mean_gxn = mmc(g * xn, ones_h)
+        dscale = mmc(ones_rows, t1)
+        dbias = mmc(ones_rows, ct32)
+    else:
+        mean_g = jnp.mean(g, axis=-1, keepdims=True)
+        mean_gxn = jnp.mean(g * xn, axis=-1, keepdims=True)
+        dscale = jnp.sum(t1, axis=0, keepdims=True)
+        dbias = jnp.sum(ct32, axis=0, keepdims=True)
+    d_d = (g - mean_g - xn * mean_gxn) * inv
+    return d_d, dscale, dbias
+
+
 def _make_kernel(n_hidden: int, activation: str):
     if activation != "relu":
         raise ValueError("fused kernel supports relu (the reference "
@@ -102,8 +156,7 @@ def _make_kernel(n_hidden: int, activation: str):
 
         # LayerNorm with f32 statistics
         def32 = de.astype(jnp.float32)
-        mu = jnp.mean(def32, axis=-1, keepdims=True)
-        var = jnp.mean(jnp.square(def32 - mu), axis=-1, keepdims=True)
+        mu, var = _ln_stats(def32, def32.shape[-1])
         ln = (def32 - mu) * jax.lax.rsqrt(var + LN_EPS)
         ln = ln * ln_scale_ref[:].astype(jnp.float32) \
             + ln_bias_ref[:].astype(jnp.float32)
@@ -307,8 +360,7 @@ def _make_bwd_kernel(n_hidden: int):
                 mm(acts[-1], ws_ref[i]).astype(dt) + bs_ref[i], 0))
         d = mm(acts[-1], w_out_ref[:]).astype(dt) + b_out_ref[:]
         d32 = d.astype(jnp.float32)
-        mu = jnp.mean(d32, axis=-1, keepdims=True)
-        var = jnp.mean(jnp.square(d32 - mu), axis=-1, keepdims=True)
+        mu, var = _ln_stats(d32, d32.shape[-1])
         inv = jax.lax.rsqrt(var + LN_EPS)
         xn = (d32 - mu) * inv
 
@@ -318,11 +370,10 @@ def _make_bwd_kernel(n_hidden: int):
 
         # ---- LayerNorm backward (f32) ----
         ct32 = ct_total.astype(jnp.float32)
-        dscale_ref[:] += jnp.sum(ct32 * xn, axis=0, keepdims=True)
-        dbias_ref[:] += jnp.sum(ct32, axis=0, keepdims=True)
-        g = ct32 * ln_scale_ref[:].astype(jnp.float32)
-        d_d = (g - jnp.mean(g, axis=-1, keepdims=True)
-               - xn * jnp.mean(g * xn, axis=-1, keepdims=True)) * inv
+        d_d, dscale, dbias = _ln_bwd(
+            ct32, xn, inv, ln_scale_ref[:].astype(jnp.float32))
+        dscale_ref[:] += dscale
+        dbias_ref[:] += dbias
         d_d = d_d.astype(dt)
 
         # ---- output linear ----

@@ -35,6 +35,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from aero_gnn_tpu.nn.mlp import LN_EPS
+from aero_gnn_tpu.ops.pallas_fused import _ln_bwd, _ln_stats
 
 
 def _mm(a, b, ta=False, tb=False):
@@ -55,8 +56,7 @@ def _make_fwd_kernel(n_hidden: int):
             z = jnp.maximum(_mm(z, ws_ref[i]).astype(dt) + bs_ref[i], 0)
         d = _mm(z, wo_ref[:]).astype(dt) + bo_ref[:]
         d32 = d.astype(jnp.float32)
-        mu = jnp.mean(d32, axis=-1, keepdims=True)
-        var = jnp.mean(jnp.square(d32 - mu), axis=-1, keepdims=True)
+        mu, var = _ln_stats(d32, d32.shape[-1])
         ln = (d32 - mu) * jax.lax.rsqrt(var + LN_EPS)
         ln = ln * scale_ref[:].astype(jnp.float32) \
             + bias_ref[:].astype(jnp.float32)
@@ -174,18 +174,16 @@ def _make_bwd_kernel(n_hidden: int):
                 _mm(acts[-1], ws_ref[k]).astype(dt) + bs_ref[k], 0))
         d = _mm(acts[-1], wo_ref[:]).astype(dt) + bo_ref[:]
         d32 = d.astype(jnp.float32)
-        mu = jnp.mean(d32, axis=-1, keepdims=True)
-        var = jnp.mean(jnp.square(d32 - mu), axis=-1, keepdims=True)
+        mu, var = _ln_stats(d32, d32.shape[-1])
         inv = jax.lax.rsqrt(var + LN_EPS)
         xn = (d32 - mu) * inv
 
         # ---- LayerNorm backward (f32) ----
         ct32 = ct_ref[:].astype(jnp.float32)
-        dscale_ref[:] += jnp.sum(ct32 * xn, axis=0, keepdims=True)
-        dbias_ref[:] += jnp.sum(ct32, axis=0, keepdims=True)
-        g = ct32 * scale_ref[:].astype(jnp.float32)
-        d_d = (g - jnp.mean(g, axis=-1, keepdims=True)
-               - xn * jnp.mean(g * xn, axis=-1, keepdims=True)) * inv
+        d_d, dscale, dbias = _ln_bwd(
+            ct32, xn, inv, scale_ref[:].astype(jnp.float32))
+        dscale_ref[:] += dscale
+        dbias_ref[:] += dbias
         d_d = d_d.astype(dt)
 
         # ---- output linear ----
