@@ -57,10 +57,12 @@ def ln_mxu_enabled() -> bool:
     """LayerNorm statistics via skinny MXU matmuls instead of lane-dimension
     VPU reductions (jnp.mean(axis=-1) is a cross-lane shuffle chain on TPU;
     measured +0.157 ms/layer-fwd vs +0.042 with the matmul form,
-    benchmarks/ln_variants.py)."""
+    benchmarks/ln_variants.py). Default mode "2" keeps the dscale/dbias ROW
+    sums on the VPU, which overlaps with the MXU-contended backward
+    (97.51 vs 97.62 vs 99.8 ms/step for modes 2/1/0, ablate_ln.py)."""
     import os
 
-    return os.environ.get("AERO_GNN_LN_MXU", "1") == "1"
+    return os.environ.get("AERO_GNN_LN_MXU", "2") in ("1", "2")
 
 
 def _ln_stats(d32, h):
@@ -78,6 +80,16 @@ def _ln_stats(d32, h):
     return mu, var
 
 
+def _colsum(x):
+    """Column sums of a [rows, h] tile -> [1, h] f32 on the VPU.
+
+    Deliberately NOT a ones-row MXU matmul: the backward kernels are
+    MXU-contended (weight-grad matmuls), and an in-process A/B showed the
+    matmul form costs +2.5 ms/step while the sublane-reduction sum
+    overlaps with MXU work for free (ablate_ln.py, 97.6 -> 100.1)."""
+    return jnp.sum(x.astype(jnp.float32), axis=0, keepdims=True)
+
+
 def _ln_bwd(ct32, xn, inv, scale32):
     """LayerNorm backward over a [rows, h] f32 tile -> (d_d, dscale, dbias).
 
@@ -85,6 +97,8 @@ def _ln_bwd(ct32, xn, inv, scale32):
     (two lane means, two row sums) rides the MXU as a skinny matmul instead
     of VPU shuffle-reduction chains.
     """
+    import os
+
     rows, h = ct32.shape
     t1 = ct32 * xn
     g = ct32 * scale32
@@ -93,11 +107,16 @@ def _ln_bwd(ct32, xn, inv, scale32):
                                 dimension_numbers=(((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32)
         ones_h = jnp.full((h, 1), 1.0 / h, jnp.float32)
-        ones_rows = jnp.full((1, rows), 1.0, jnp.float32)
         mean_g = mmc(g, ones_h)
         mean_gxn = mmc(g * xn, ones_h)
-        dscale = mmc(ones_rows, t1)
-        dbias = mmc(ones_rows, ct32)
+        if os.environ.get("AERO_GNN_LN_MXU", "2") == "2":
+            # lane means on MXU, row sums on VPU (overlap with MXU work)
+            dscale = jnp.sum(t1, axis=0, keepdims=True)
+            dbias = jnp.sum(ct32, axis=0, keepdims=True)
+        else:
+            ones_rows = jnp.full((1, rows), 1.0, jnp.float32)
+            dscale = mmc(ones_rows, t1)
+            dbias = mmc(ones_rows, ct32)
     else:
         mean_g = jnp.mean(g, axis=-1, keepdims=True)
         mean_gxn = jnp.mean(g * xn, axis=-1, keepdims=True)
@@ -378,8 +397,7 @@ def _make_bwd_kernel(n_hidden: int):
 
         # ---- output linear ----
         dwo_ref[:] += mm(acts[-1], d_d, ta=True)
-        dbo_ref[:] += jnp.sum(d_d.astype(jnp.float32), axis=0,
-                              keepdims=True)
+        dbo_ref[:] += _colsum(d_d)
         dz = mm(d_d, w_out_ref[:], tb=True).astype(dt)
         # relu mask in f32: Mosaic lacks bf16 vector comparisons
         dz = dz * (acts[-1].astype(jnp.float32) > 0).astype(dt)
@@ -387,8 +405,7 @@ def _make_bwd_kernel(n_hidden: int):
         # ---- hidden stack (reverse) ----
         for i in reversed(range(n_hidden)):
             dws_ref[i] += mm(acts[i], dz, ta=True)
-            dbs_ref[i] += jnp.sum(dz.astype(jnp.float32), axis=0,
-                                  keepdims=True)
+            dbs_ref[i] += _colsum(dz)
             dz = mm(dz, ws_ref[i], tb=True).astype(dt)
             dz = dz * (acts[i].astype(jnp.float32) > 0).astype(dt)
 

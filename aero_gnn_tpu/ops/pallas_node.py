@@ -35,7 +35,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from aero_gnn_tpu.nn.mlp import LN_EPS
-from aero_gnn_tpu.ops.pallas_fused import _ln_bwd, _ln_stats
+from aero_gnn_tpu.ops.pallas_fused import _colsum, _ln_bwd, _ln_stats
 
 
 def _mm(a, b, ta=False, tb=False):
@@ -188,22 +188,21 @@ def _make_bwd_kernel(n_hidden: int):
 
         # ---- output linear ----
         dwo_ref[:] += _mm(acts[-1], d_d, ta=True)
-        dbo_ref[:] += jnp.sum(d_d.astype(jnp.float32), axis=0, keepdims=True)
+        dbo_ref[:] += _colsum(d_d)
         dz = _mm(d_d, wo_ref[:], tb=True).astype(dt)
         dz = dz * (acts[-1].astype(jnp.float32) > 0).astype(dt)
 
         # ---- hidden stack (reverse) ----
         for k in reversed(range(n_hidden)):
             dws_ref[k] += _mm(acts[k], dz, ta=True)
-            dbs_ref[k] += jnp.sum(dz.astype(jnp.float32), axis=0,
-                                  keepdims=True)
+            dbs_ref[k] += _colsum(dz)
             dz = _mm(dz, ws_ref[k], tb=True).astype(dt)
             dz = dz * (acts[k].astype(jnp.float32) > 0).astype(dt)
 
         # ---- first (split) linear ----
         dw1x_ref[:] += _mm(x, dz, ta=True)
         dw1a_ref[:] += _mm(agg, dz, ta=True)
-        db1_ref[:] += jnp.sum(dz.astype(jnp.float32), axis=0, keepdims=True)
+        db1_ref[:] += _colsum(dz)
         # residual: ct flows straight through to x as well
         dx_ref[:] = ct_ref[:] + _mm(dz, w1x_ref[:], tb=True).astype(dt)
         dagg_ref[:] = _mm(dz, w1a_ref[:], tb=True).astype(dt)

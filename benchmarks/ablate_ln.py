@@ -73,8 +73,8 @@ def main():
 
     results = {}
     with ops.use_backend("pallas"):
-        # interleave the order A,B,B,A to cancel chip-state drift
-        for mode in ["0", "1", "1", "0"]:
+        # interleave the order to cancel chip-state drift
+        for mode in ["0", "1", "2", "2", "1", "0"]:
             os.environ["AERO_GNN_LN_MXU"] = mode
             p, o, step = build()
             t = time_scan_fn(step, (p, o, graph), rtt, iters=ITERS)
