@@ -252,13 +252,28 @@ def _fused_layer_ok(cfg: MGNLayerConfig, node_attr, receivers,
             and node_attr.shape[0] % PS.NB == 0)
 
 
+def _mega_layer_ok(params, cfg: MGNLayerConfig, node_attr) -> bool:
+    """Gate for the single-kernel full-layer path (ops.pallas_mega): 'add'
+    aggregation (no degree division between edge and node halves) plus the
+    fused-node-kernel legality at the NB block size."""
+    from aero_gnn_tpu.ops.pallas_mega import NB, mega_enabled
+
+    if cfg.aggregation != "add" or not mega_enabled():
+        return False
+    if not _fused_node_ok(params["node"], cfg, node_attr):
+        return False
+    return node_attr.shape[0] % NB == 0
+
+
 def _mgn_layer_fused(params, cfg: MGNLayerConfig, node_attr, edge_attr,
                      senders, receivers, edge_mask, sender_perm,
                      senders_sorted):
     # (only reached when _fused_layer_ok: the streams are block-aligned)
     """Pallas fused path: whole edge-MLP chain + residual + receiver-side
     gather + aggregation in one kernel (ops.pallas_fused); node update
-    stays on XLA. Only the sender-side gather materializes [E, h]."""
+    stays on XLA. Only the sender-side gather materializes [E, h].
+    When legal (_mega_layer_ok) the node update fuses into the SAME kernel
+    as a per-node-block epilogue (ops.pallas_mega)."""
     from aero_gnn_tpu import ops
     from aero_gnn_tpu.ops.pallas_fused import fused_edge_layer
 
@@ -278,6 +293,28 @@ def _mgn_layer_fused(params, cfg: MGNLayerConfig, node_attr, edge_attr,
     bs = (jnp.stack([s["b"] for s in p["stack"][:-1]])
           if len(p["stack"]) > 1
           else jnp.zeros((0, s_proj.shape[1]), s_proj.dtype))
+    if _mega_layer_ok(params, cfg, node_attr):
+        from aero_gnn_tpu.ops.pallas_mega import fused_mgn_layer
+
+        h = s_proj.shape[1]
+        ep = {"w_e": p["w_e"], "ws": ws, "bs": bs,
+              "w_out": p["stack"][-1]["w"], "b_out": p["stack"][-1]["b"],
+              "ln_scale": p["ln"]["scale"], "ln_bias": p["ln"]["bias"]}
+        n = params["node"]
+        lins = n["linears"]
+        hidden = lins[1:-1]
+        nws = (jnp.stack([lin["w"] for lin in hidden]) if hidden
+               else jnp.zeros((0, h, h), node_attr.dtype))
+        nbs = (jnp.stack([lin["b"] for lin in hidden]) if hidden
+               else jnp.zeros((0, h), node_attr.dtype))
+        npar = {"w1x": lins[0]["w"][:h], "w1a": lins[0]["w"][h:],
+                "b1": lins[0]["b"], "ws": nws, "bs": nbs,
+                "w_out": lins[-1]["w"], "b_out": lins[-1]["b"],
+                "ln_scale": n["ln"]["scale"], "ln_bias": n["ln"]["bias"]}
+        node_attr, edge_attr = fused_mgn_layer(
+            edge_attr, sg, d_proj, node_attr, edge_mask, receivers,
+            ep, npar, node_attr.shape[0])
+        return node_attr, edge_attr
     edge_attr, agg = fused_edge_layer(
         edge_attr, sg, d_proj, edge_mask, receivers,
         p["w_e"], ws, bs, p["stack"][-1]["w"], p["stack"][-1]["b"],
