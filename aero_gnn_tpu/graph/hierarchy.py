@@ -74,6 +74,18 @@ class HierarchyLevel:
     tile_block: Optional[jax.Array] = None  # i32[T]
     tile_first: Optional[jax.Array] = None  # i32[T]
 
+    # Sorted-pooling permutations: fine rows ordered by their coarse target
+    # (host-precomputed stable argsort of fine_to_coarse / edge_to_coarse).
+    # XLA lowers an UNSORTED scatter-add to a serial path on TPU (~70x
+    # slower than a sorted segment reduction — see ops/scatter.py); with
+    # these, every fine->coarse pooling transfer becomes gather-by-perm +
+    # SORTED segment sum, and the unpool gather gets a sorted-transpose
+    # backward (ops.segment_pool_sum / ops.gather_senders).
+    node_pool_perm: Optional[jax.Array] = None    # i32[Nf]
+    node_pool_sorted: Optional[jax.Array] = None  # i32[Nf]
+    edge_pool_perm: Optional[jax.Array] = None    # i32[Ef]
+    edge_pool_sorted: Optional[jax.Array] = None  # i32[Ef]
+
     @property
     def edges_aligned(self) -> bool:
         """True iff the coarse streams carry the block-aligned layout the
@@ -92,6 +104,26 @@ class HierarchyLevel:
 # ---------------------------------------------------------------------------
 # host-side builders (numpy)
 # ---------------------------------------------------------------------------
+
+def with_pool_perms(level: HierarchyLevel) -> HierarchyLevel:
+    """Attach the sorted-pooling permutations (stable argsort of the final
+    fine_to_coarse / edge_to_coarse). Derived purely from the level's own
+    fields, so every construction/transformation path just calls this
+    last; stable sort keeps within-segment fine order, so pooled sums are
+    numerically identical to the unsorted-scatter order up to the usual
+    scatter reassociation."""
+    f2c = np.asarray(level.fine_to_coarse)
+    e2c = np.asarray(level.edge_to_coarse)
+    npp = np.argsort(f2c, kind="stable").astype(np.int32)
+    epp = np.argsort(e2c, kind="stable").astype(np.int32)
+    return dataclasses.replace(
+        level,
+        node_pool_perm=jnp.asarray(npp),
+        node_pool_sorted=jnp.asarray(f2c[npp].astype(np.int32)),
+        edge_pool_perm=jnp.asarray(epp),
+        edge_pool_sorted=jnp.asarray(e2c[epp].astype(np.int32)),
+    )
+
 
 def _assign_stride(pos: np.ndarray, node_graph: np.ndarray,
                    stride: int) -> tuple:
@@ -295,7 +327,7 @@ def build_hierarchy_level(
         "num_nodes": num_coarse,
         "pos": c_pos,
     }
-    return level, coarse_real
+    return with_pool_perms(level), coarse_real
 
 
 def build_hierarchy_real(
@@ -422,7 +454,7 @@ def collate_hierarchies(
                 f"hierarchy pad_plan level {s} too small: need "
                 f"({cn_off + 1}, {ce_off}), have ({nc_pad}, {ec_pad})")
         sperm = np.argsort(cs_p, kind="stable").astype(np.int32)
-        out.append(HierarchyLevel(
+        out.append(with_pool_perms(HierarchyLevel(
             fine_to_coarse=jnp.asarray(f2c_p),
             edge_to_coarse=jnp.asarray(e2c_p),
             senders=jnp.asarray(cs_p), receivers=jnp.asarray(cr_p),
@@ -433,7 +465,7 @@ def collate_hierarchies(
             n_node=jnp.asarray(cn_off, dtype=jnp.int32),
             n_edge=jnp.asarray(ce_off, dtype=jnp.int32),
             node_weights=jnp.asarray(nw), edge_weights=jnp.asarray(ew),
-        ))
+        )))
         nf_pad, ef_pad = nc_pad, ec_pad
     return out
 
@@ -457,11 +489,11 @@ def realign_level0(level: HierarchyLevel,
     idx = np.where(ok, src, 0)
     e2c_a = np.where(ok, e2c[idx], ec_pad - 1).astype(np.int32)
     ew_a = np.where(ok, ew[idx], 0.0).astype(ew.dtype)
-    return dataclasses.replace(
+    return with_pool_perms(dataclasses.replace(
         level,
         edge_to_coarse=jnp.asarray(e2c_a),
         edge_weights=jnp.asarray(ew_a),
-    )
+    ))
 
 
 def build_hierarchy(
@@ -721,7 +753,7 @@ def align_hierarchy(
         ssort = s_p[sperm]
         sperm, ssort = _align_sender_stream(sperm, ssort, em, nc2)
 
-        out.append(dataclasses.replace(
+        out.append(with_pool_perms(dataclasses.replace(
             level,
             fine_to_coarse=jnp.asarray(f2c.astype(np.int32)),
             edge_to_coarse=jnp.asarray(e2c),
@@ -736,7 +768,7 @@ def align_hierarchy(
             edge_weights=jnp.asarray(ew),
             tile_block=jnp.asarray(tb_full),
             tile_first=jnp.asarray(tf_full),
-        ))
+        )))
 
         # maps for the NEXT level's fine side: aligned edge row -> old
         # (pre-balance-sort) edge row, and old coarse id -> new node row

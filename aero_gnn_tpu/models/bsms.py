@@ -28,7 +28,19 @@ from aero_gnn_tpu.graph.hierarchy import HierarchyLevel
 from aero_gnn_tpu.models.mgn import MGNConfig, run_processor, _sub
 from aero_gnn_tpu.nn import blocks as B
 from aero_gnn_tpu.nn import mlp as M
-from aero_gnn_tpu.ops import segment_mean
+from aero_gnn_tpu.ops import gather_senders, segment_mean, segment_pool_sum
+
+
+def _sorted_pool_enabled() -> bool:
+    """Gate for the sorted hierarchy-transfer path (segment_pool_sum +
+    sorted unpool transpose). Default OFF: measured neutral on TPU
+    (103.37 vs 102.86 ms/step, benchmarks/ablate_pool.py) — XLA's
+    unsorted scatter does not hit its serial path at these fine->coarse
+    shapes, unlike the edge-level gather transposes (ops/scatter.py).
+    Kept selectable (AERO_GNN_SORTED_POOL=1) for layouts where it does."""
+    import os
+
+    return os.environ.get("AERO_GNN_SORTED_POOL", "0") == "1"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -128,22 +140,50 @@ class BSMSConfig(MGNConfig):
                                  aligned=aligned)
             skips.append((x, e, senders, receivers, edge_mask, sperm, ssort,
                           aligned))
+            # fine->coarse transfers ride SORTED segment sums when the
+            # level carries pool perms (ops.segment_pool_sum — XLA's
+            # unsorted scatter-add is a serial TPU path); the jnp fallback
+            # keeps hierarchies built without with_pool_perms working
+            sorted_pool = _sorted_pool_enabled() \
+                and level.node_pool_perm is not None
+
+            def _pool_nodes(v):
+                if sorted_pool:
+                    return segment_pool_sum(
+                        v, level.fine_to_coarse,
+                        level.num_coarse_nodes_pad,
+                        perm=level.node_pool_perm,
+                        seg_sorted=level.node_pool_sorted)
+                return jax.ops.segment_sum(
+                    v, level.fine_to_coarse,
+                    num_segments=level.num_coarse_nodes_pad)
+
             if self.transfer == "weighted":
                 w = (level.node_weights * node_mask).astype(x.dtype)
-                wsum = jax.ops.segment_sum(
-                    w, level.fine_to_coarse,
-                    num_segments=level.num_coarse_nodes_pad)
-                x = jax.ops.segment_sum(
-                    x * w[:, None], level.fine_to_coarse,
-                    num_segments=level.num_coarse_nodes_pad)
+                wsum = _pool_nodes(w)
+                x = _pool_nodes(x * w[:, None])
                 x = x / jnp.maximum(wsum, 1e-12)[:, None]
             else:
-                x = segment_mean(x, level.fine_to_coarse,
-                                 level.num_coarse_nodes_pad, mask=node_mask,
+                nm = node_mask.astype(x.dtype)
+                x = _pool_nodes(x * nm[:, None])
+                cnt = _pool_nodes(nm)
+                x = x / jnp.maximum(cnt, 1.0)[:, None]
+            em_ = edge_mask.astype(e.dtype)
+            if sorted_pool:
+                es = segment_pool_sum(
+                    e * em_[:, None], level.edge_to_coarse,
+                    level.num_coarse_edges_pad,
+                    perm=level.edge_pool_perm,
+                    seg_sorted=level.edge_pool_sorted)
+                ecnt = segment_pool_sum(
+                    em_, level.edge_to_coarse, level.num_coarse_edges_pad,
+                    perm=level.edge_pool_perm,
+                    seg_sorted=level.edge_pool_sorted)
+                e = es / jnp.maximum(ecnt, 1.0)[:, None]
+            else:
+                e = segment_mean(e, level.edge_to_coarse,
+                                 level.num_coarse_edges_pad, mask=edge_mask,
                                  indices_are_sorted=False)
-            e = segment_mean(e, level.edge_to_coarse,
-                             level.num_coarse_edges_pad, mask=edge_mask,
-                             indices_are_sorted=False)
             senders, receivers = level.senders, level.receivers
             node_mask, edge_mask = level.node_mask, level.edge_mask
             sperm, ssort = level.sender_perm, level.senders_sorted
@@ -166,8 +206,16 @@ class BSMSConfig(MGNConfig):
             level = hierarchy[-(i + 1)]
             (skip_x, skip_e, senders, receivers, edge_mask,
              sperm, ssort, aligned) = skips[-(i + 1)]
-            x = x.at[level.fine_to_coarse].get(
-                mode="promise_in_bounds") + skip_x
+            if _sorted_pool_enabled() and level.node_pool_perm is not None:
+                # unpool gather with a sorted-transpose backward (the raw
+                # gather's autodiff transpose is an unsorted scatter-add)
+                xc = gather_senders(x, level.fine_to_coarse,
+                                    level.node_pool_perm,
+                                    level.node_pool_sorted, aligned=False)
+            else:
+                xc = x.at[level.fine_to_coarse].get(
+                    mode="promise_in_bounds")
+            x = xc + skip_x
             e = skip_e
             x, e = run_processor(params["up"][i], self.layer_cfg, x, e,
                                  senders, receivers, edge_mask,

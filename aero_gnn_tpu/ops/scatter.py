@@ -260,6 +260,44 @@ def segment_sum_sorted(data, segment_ids, num_segments: int):
     return _segment_sum_sorted_impl(num_segments, data, segment_ids)
 
 
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _segment_pool_sum_impl(num_segments: int, data, seg_ids, perm,
+                           seg_sorted):
+    ds = data.at[perm].get(mode="promise_in_bounds", unique_indices=True)
+    return jax.ops.segment_sum(ds, seg_sorted, num_segments=num_segments,
+                               indices_are_sorted=True)
+
+
+def _sps_fwd(num_segments, data, seg_ids, perm, seg_sorted):
+    return _segment_pool_sum_impl(num_segments, data, seg_ids, perm,
+                                  seg_sorted), (seg_ids,)
+
+
+def _sps_bwd(num_segments, res, ct):
+    # the transpose of sum-pooling is the unpool broadcast: a plain gather
+    (seg_ids,) = res
+    return ct.at[seg_ids].get(mode="promise_in_bounds"), None, None, None
+
+
+_segment_pool_sum_impl.defvjp(_sps_fwd, _sps_bwd)
+
+
+def segment_pool_sum(data, seg_ids, num_segments: int, *, perm, seg_sorted):
+    """Segment sum over UNSORTED ``seg_ids`` via a host-precomputed stable
+    sort permutation: gather-by-perm + SORTED segment sum, with a plain
+    gather as the backward (the unpool broadcast).
+
+    XLA lowers the direct unsorted scatter-add to a serial TPU path
+    (measured ~70x slower than the sorted reduction — see the module
+    docstring); this keeps the fine->coarse hierarchy pooling transfers
+    (models/bsms.py, /root/reference/models/bsms_mgn.py:265-288 semantics)
+    on sorted ops in both directions. ``perm`` = stable argsort of
+    ``seg_ids``; ``seg_sorted`` = seg_ids[perm] (HierarchyLevel carries
+    both, graph.hierarchy.with_pool_perms)."""
+    return _segment_pool_sum_impl(num_segments, data, seg_ids, perm,
+                                  seg_sorted)
+
+
 def degree(
     segment_ids: jax.Array,
     num_segments: int,

@@ -1,9 +1,10 @@
-"""One-off TPU A/B: full train step with LayerNorm reductions on the VPU
-(AERO_GNN_MEGA=0, lane-shuffle means) vs on the MXU (=1, skinny
-ones-matmuls) in ONE process — run-to-run chip-state variance makes
-cross-process comparisons unreliable.
+"""One-off TPU A/B: full train step on the two-kernel fused path
+(AERO_GNN_MEGA=0, edge kernel + node kernel) vs the single-kernel full
+layer (=1, ops.pallas_mega per-block node epilogue) in ONE process —
+run-to-run chip-state variance makes cross-process comparisons
+unreliable.
 
-Usage: python benchmarks/ablate_ln.py (TPU).
+Usage: python benchmarks/ablate_mega.py (TPU).
 """
 
 import os

@@ -215,3 +215,68 @@ class TestSortedTransposeVJPs:
             assert np.isfinite(np.asarray(a)).all()
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=2e-4, atol=1e-5)
+
+
+class TestSegmentPoolSum:
+    """Sorted-permutation pooling (ops.segment_pool_sum) and the BSMS
+    sorted-transfer path (AERO_GNN_SORTED_POOL=1) match the direct
+    unsorted-scatter formulation, values and grads."""
+
+    def test_matches_unsorted_segment_sum(self):
+        import numpy as np
+        from aero_gnn_tpu import ops
+        rng = np.random.default_rng(7)
+        n, s = 400, 37
+        seg = jnp.asarray(rng.integers(0, s, n).astype(np.int32))
+        perm = jnp.asarray(np.argsort(np.asarray(seg), kind="stable")
+                           .astype(np.int32))
+        seg_sorted = seg[perm]
+        x = jnp.asarray(rng.standard_normal((n, 8)).astype(np.float32))
+        out = ops.segment_pool_sum(x, seg, s, perm=perm,
+                                   seg_sorted=seg_sorted)
+        ref = jax.ops.segment_sum(x, seg, num_segments=s)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+        probe = jnp.asarray(rng.standard_normal((s, 8)).astype(np.float32))
+        g1 = jax.grad(lambda v: jnp.sum(ops.segment_pool_sum(
+            v, seg, s, perm=perm, seg_sorted=seg_sorted) * probe))(x)
+        g2 = jax.grad(lambda v: jnp.sum(jax.ops.segment_sum(
+            v, seg, num_segments=s) * probe))(x)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_bsms_sorted_pool_mode_matches_default(self, monkeypatch):
+        import numpy as np
+        from aero_gnn_tpu.data import dataset as D
+        from aero_gnn_tpu.data.synthetic import make_random_mesh_sample
+        from aero_gnn_tpu.graph import padded, hierarchy as H
+        from aero_gnn_tpu.models.bsms import BSMSConfig
+        s = make_random_mesh_sample(n_nodes=180, avg_degree=5, seed=3)
+        D.compute_features([s], ["mach", "alpha"])
+        gb = padded.build_graph_batch(
+            senders=s.senders, receivers=s.receivers, x=s.x,
+            edge_attr=s.edge_attr, pos=s.pos, y=s.y)
+        levels = H.build_hierarchy(
+            senders=s.senders, receivers=s.receivers,
+            node_graph=np.zeros(s.x.shape[0], np.int64),
+            num_nodes=s.x.shape[0], pos=s.pos.astype(np.float64),
+            num_scales=3, mode="bistride",
+            num_fine_nodes_pad=gb.num_nodes_pad,
+            num_fine_edges_pad=gb.num_edges_pad)
+        assert levels[0].node_pool_perm is not None
+        cfg = BSMSConfig(input_node_dim=6, input_edge_dim=3,
+                         output_node_dim=4, processor_size=6,
+                         hidden_dim_processor=16,
+                         hidden_dim_node_encoder=16,
+                         hidden_dim_edge_encoder=16, hidden_dim_decoder=16,
+                         do_concat_trick=True, num_scales=3,
+                         layers_per_scale=1, remat=False)
+        params = cfg.init(jax.random.PRNGKey(0))
+
+        monkeypatch.setenv("AERO_GNN_SORTED_POOL", "0")
+        out0 = cfg.apply(params, gb, hierarchy=tuple(levels))
+        monkeypatch.setenv("AERO_GNN_SORTED_POOL", "1")
+        out1 = cfg.apply(params, gb, hierarchy=tuple(levels))
+        np.testing.assert_allclose(np.asarray(out0), np.asarray(out1),
+                                   rtol=1e-5, atol=1e-5)
