@@ -121,7 +121,17 @@ def main():
     log(f"graph transfer+sync: {time.perf_counter()-t0:.1f} s")
     ITERS = int(os.environ.get("BENCH_ITERS", 16))
 
-    def build(do_concat_trick, compute_dtype="float32"):
+    # Per-layer remat is pure overhead when activations fit HBM (the
+    # save_fused policy keeps the fused-VJP residuals anyway): 92.1 vs
+    # 97.5 ms/step on the 65k mesh, 551 vs 570 on 262k
+    # (benchmarks/ablate_remat.py). Meshes beyond the tested 262k need it
+    # to fit 16 GB; BENCH_REMAT=0/1 overrides the threshold.
+    remat_env = os.environ.get("BENCH_REMAT", "auto")
+    remat = (n_nodes > 262144 if remat_env == "auto"
+             else remat_env == "1")
+    log(f"per-layer remat: {remat} ({remat_env})")
+
+    def build(do_concat_trick, compute_dtype="float32", remat=remat):
         cfg = MGNConfig(
             input_node_dim=6, input_edge_dim=3, output_node_dim=4,
             processor_size=15, hidden_dim_processor=128,
@@ -133,7 +143,7 @@ def main():
             num_hidden_layers_edge_encoder=2,
             num_hidden_layers_decoder=2,
             aggregation="add", do_concat_trick=do_concat_trick,
-            compute_dtype=compute_dtype)
+            compute_dtype=compute_dtype, remat=remat)
         params = cfg.init(jax.random.PRNGKey(0))
         optimizer = make_optimizer(1e-3)
         opt_state = optimizer.init(params)
@@ -178,7 +188,10 @@ def main():
         log("baseline skipped (BENCH_SKIP_BASELINE)")
     else:
         with ops.use_backend("xla"):
-            p0, o0, step0, _ = build(do_concat_trick=False)
+            # the naive baseline keeps per-layer remat: its [E,3h] concat
+            # activations blow HBM without it (and 367 ms/step was measured
+            # with remat on — keeping it keeps vs_baseline comparable)
+            p0, o0, step0, _ = build(do_concat_trick=False, remat=True)
             t_base = time_scan_fn(step0, (p0, o0, graph_base), rtt,
                                   iters=ITERS)
         log(f"baseline (full-concat EdgeBlock, XLA): {t_base*1e3:.2f} "
