@@ -80,7 +80,11 @@ def main():
         num_hidden_layers_edge_encoder=2,
         num_hidden_layers_decoder=2,
         aggregation="add", do_concat_trick=True, compute_dtype=dtype,
-        num_scales=3, layers_per_scale=2, hierarchy_mode="bistride")
+        num_scales=3, layers_per_scale=2, hierarchy_mode="bistride",
+        # remat off when the mesh fits HBM (same rationale as bench.py)
+        remat=(n_nodes > 262144
+               if os.environ.get("BENCH_REMAT", "auto") == "auto"
+               else os.environ.get("BENCH_REMAT") == "1"))
     params = cfg.init(jax.random.PRNGKey(0))
     optimizer = make_optimizer(1e-3)
     opt_state = optimizer.init(params)
