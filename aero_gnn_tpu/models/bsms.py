@@ -158,32 +158,38 @@ class BSMSConfig(MGNConfig):
                     v, level.fine_to_coarse,
                     num_segments=level.num_coarse_nodes_pad)
 
+            # masks stay f32 so the products promote and the segment sums
+            # ACCUMULATE in f32 (segment_mean's behavior — bf16 sums lose
+            # precision for high-multiplicity coarse targets); the results
+            # are cast back to the compute dtype — the f32 promotion used
+            # to leak into every coarse level, silently running the coarse
+            # processors (incl. the fused kernels) in f32
+            dt = x.dtype
             if self.transfer == "weighted":
-                w = (level.node_weights * node_mask).astype(x.dtype)
+                w = level.node_weights * node_mask
                 wsum = _pool_nodes(w)
                 x = _pool_nodes(x * w[:, None])
-                x = x / jnp.maximum(wsum, 1e-12)[:, None]
+                x = (x / jnp.maximum(wsum, 1e-12)[:, None]).astype(dt)
             else:
-                nm = node_mask.astype(x.dtype)
-                x = _pool_nodes(x * nm[:, None])
-                cnt = _pool_nodes(nm)
-                x = x / jnp.maximum(cnt, 1.0)[:, None]
-            em_ = edge_mask.astype(e.dtype)
+                x = _pool_nodes(x * node_mask[:, None])
+                cnt = _pool_nodes(node_mask)
+                x = (x / jnp.maximum(cnt, 1.0)[:, None]).astype(dt)
             if sorted_pool:
                 es = segment_pool_sum(
-                    e * em_[:, None], level.edge_to_coarse,
+                    e * edge_mask[:, None], level.edge_to_coarse,
                     level.num_coarse_edges_pad,
                     perm=level.edge_pool_perm,
                     seg_sorted=level.edge_pool_sorted)
                 ecnt = segment_pool_sum(
-                    em_, level.edge_to_coarse, level.num_coarse_edges_pad,
+                    edge_mask, level.edge_to_coarse,
+                    level.num_coarse_edges_pad,
                     perm=level.edge_pool_perm,
                     seg_sorted=level.edge_pool_sorted)
-                e = es / jnp.maximum(ecnt, 1.0)[:, None]
+                e = (es / jnp.maximum(ecnt, 1.0)[:, None]).astype(dt)
             else:
                 e = segment_mean(e, level.edge_to_coarse,
                                  level.num_coarse_edges_pad, mask=edge_mask,
-                                 indices_are_sorted=False)
+                                 indices_are_sorted=False).astype(dt)
             senders, receivers = level.senders, level.receivers
             node_mask, edge_mask = level.node_mask, level.edge_mask
             sperm, ssort = level.sender_perm, level.senders_sorted

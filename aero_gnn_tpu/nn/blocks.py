@@ -189,6 +189,25 @@ def _fused_node_ok(params, cfg: MGNLayerConfig, node_attr) -> bool:
     return all(lin["w"].shape == (h, h) for lin in lins[1:-1])
 
 
+def _pack_node_split(params, h: int, dtype):
+    """Split-concat packing of a NodeBlock MLP for the fused kernels:
+    first linear split into W1x/W1a (rows [:h] / [h:]), hidden stack
+    stacked, output linear + LN separate. Shared by the fused node kernel
+    and the single-kernel mega layer."""
+    lins = params["linears"]
+    w1 = lins[0]["w"]
+    hidden = lins[1:-1]
+    ws = (jnp.stack([lin["w"] for lin in hidden]) if hidden
+          else jnp.zeros((0, h, h), dtype))
+    bs = (jnp.stack([lin["b"] for lin in hidden]) if hidden
+          else jnp.zeros((0, h), dtype))
+    return {"w1x": w1[:h], "w1a": w1[h:], "b1": lins[0]["b"],
+            "ws": ws, "bs": bs,
+            "w_out": lins[-1]["w"], "b_out": lins[-1]["b"],
+            "ln_scale": params["ln"]["scale"],
+            "ln_bias": params["ln"]["bias"]}
+
+
 def node_block_post_residual(params, cfg: MGNLayerConfig,
                              node_attr: jax.Array,
                              edge_aggr: jax.Array) -> jax.Array:
@@ -197,19 +216,11 @@ def node_block_post_residual(params, cfg: MGNLayerConfig,
         return node_attr + node_block_post(params, cfg, node_attr, edge_aggr)
     from aero_gnn_tpu.ops.pallas_node import fused_node_layer
 
-    h = node_attr.shape[1]
-    lins = params["linears"]
-    w1 = lins[0]["w"]
-    hidden = lins[1:-1]
-    ws = (jnp.stack([lin["w"] for lin in hidden]) if hidden
-          else jnp.zeros((0, h, h), node_attr.dtype))
-    bs = (jnp.stack([lin["b"] for lin in hidden]) if hidden
-          else jnp.zeros((0, h), node_attr.dtype))
+    p = _pack_node_split(params, node_attr.shape[1], node_attr.dtype)
     return fused_node_layer(
         node_attr, edge_aggr.astype(node_attr.dtype),
-        w1[:h], w1[h:], lins[0]["b"], ws, bs,
-        lins[-1]["w"], lins[-1]["b"],
-        params["ln"]["scale"], params["ln"]["bias"])
+        p["w1x"], p["w1a"], p["b1"], p["ws"], p["bs"],
+        p["w_out"], p["b_out"], p["ln_scale"], p["ln_bias"])
 
 
 def node_block_apply(
@@ -300,17 +311,7 @@ def _mgn_layer_fused(params, cfg: MGNLayerConfig, node_attr, edge_attr,
         ep = {"w_e": p["w_e"], "ws": ws, "bs": bs,
               "w_out": p["stack"][-1]["w"], "b_out": p["stack"][-1]["b"],
               "ln_scale": p["ln"]["scale"], "ln_bias": p["ln"]["bias"]}
-        n = params["node"]
-        lins = n["linears"]
-        hidden = lins[1:-1]
-        nws = (jnp.stack([lin["w"] for lin in hidden]) if hidden
-               else jnp.zeros((0, h, h), node_attr.dtype))
-        nbs = (jnp.stack([lin["b"] for lin in hidden]) if hidden
-               else jnp.zeros((0, h), node_attr.dtype))
-        npar = {"w1x": lins[0]["w"][:h], "w1a": lins[0]["w"][h:],
-                "b1": lins[0]["b"], "ws": nws, "bs": nbs,
-                "w_out": lins[-1]["w"], "b_out": lins[-1]["b"],
-                "ln_scale": n["ln"]["scale"], "ln_bias": n["ln"]["bias"]}
+        npar = _pack_node_split(params["node"], h, node_attr.dtype)
         node_attr, edge_attr = fused_mgn_layer(
             edge_attr, sg, d_proj, node_attr, edge_mask, receivers,
             ep, npar, node_attr.shape[0])

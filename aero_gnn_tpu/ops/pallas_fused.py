@@ -53,16 +53,21 @@ NB = ALIGN_NODE_BLOCK
 ET = ALIGN_EDGE_TILE
 
 
-def ln_mxu_enabled() -> bool:
-    """LayerNorm statistics via skinny MXU matmuls instead of lane-dimension
-    VPU reductions (jnp.mean(axis=-1) is a cross-lane shuffle chain on TPU;
-    measured +0.157 ms/layer-fwd vs +0.042 with the matmul form,
-    benchmarks/ln_variants.py). Default mode "2" keeps the dscale/dbias ROW
-    sums on the VPU, which overlaps with the MXU-contended backward
-    (97.51 vs 97.62 vs 99.8 ms/step for modes 2/1/0, ablate_ln.py)."""
+def ln_mxu_mode() -> str:
+    """AERO_GNN_LN_MXU mode: "0" = all LayerNorm reductions on the VPU,
+    "1" = all on the MXU, "2" (default) = lane means on the MXU but
+    dscale/dbias ROW sums on the VPU. Lane means (jnp.mean(axis=-1)) lower
+    to cross-lane shuffle chains on the VPU (+0.157 ms/layer-fwd vs +0.042
+    as skinny ones-matmuls, benchmarks/ln_variants.py), while the row sums
+    overlap with the MXU-contended backward for free (97.51 / 97.62 / 99.8
+    ms/step for modes 2/1/0, benchmarks/ablate_ln.py)."""
     import os
 
-    return os.environ.get("AERO_GNN_LN_MXU", "2") in ("1", "2")
+    return os.environ.get("AERO_GNN_LN_MXU", "2")
+
+
+def ln_mxu_enabled() -> bool:
+    return ln_mxu_mode() in ("1", "2")
 
 
 def _ln_stats(d32, h):
@@ -73,7 +78,10 @@ def _ln_stats(d32, h):
                                dimension_numbers=(((1,), (0,)), ((), ())),
                                preferred_element_type=jnp.float32)
         mu = mm(d32, ones)
-        var = mm(d32 * d32, ones) - mu * mu
+        # one-pass E[x^2]-mu^2 can round slightly NEGATIVE for
+        # near-constant rows with large mean; clamp so rsqrt(var+eps)
+        # can never see a negative argument (NaN)
+        var = jnp.maximum(mm(d32 * d32, ones) - mu * mu, 0.0)
     else:
         mu = jnp.mean(d32, axis=-1, keepdims=True)
         var = jnp.mean(jnp.square(d32 - mu), axis=-1, keepdims=True)
@@ -97,8 +105,6 @@ def _ln_bwd(ct32, xn, inv, scale32):
     (two lane means, two row sums) rides the MXU as a skinny matmul instead
     of VPU shuffle-reduction chains.
     """
-    import os
-
     rows, h = ct32.shape
     t1 = ct32 * xn
     g = ct32 * scale32
@@ -109,7 +115,7 @@ def _ln_bwd(ct32, xn, inv, scale32):
         ones_h = jnp.full((h, 1), 1.0 / h, jnp.float32)
         mean_g = mmc(g, ones_h)
         mean_gxn = mmc(g * xn, ones_h)
-        if os.environ.get("AERO_GNN_LN_MXU", "2") == "2":
+        if ln_mxu_mode() == "2":
             # lane means on MXU, row sums on VPU (overlap with MXU work)
             dscale = jnp.sum(t1, axis=0, keepdims=True)
             dbias = jnp.sum(ct32, axis=0, keepdims=True)

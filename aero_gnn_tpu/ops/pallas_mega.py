@@ -144,22 +144,25 @@ def _make_fwd_kernel(ne_hidden: int, nn_hidden: int):
     return kernel
 
 
-def _specs(h, ne_hidden, nn_hidden):
+def _specs(h, ne_hidden, nn_hidden, n_prefetch=3):
+    """BlockSpec builders shared by the fwd (3 prefetch operands) and bwd
+    (2) grids — only the index-map arity differs."""
+
     def tile_spec():
-        return pl.BlockSpec((ET, h), lambda t, tb, tf, tl: (t, 0),
+        return pl.BlockSpec((ET, h), lambda t, *s: (t, 0),
                             memory_space=pltpu.VMEM)
 
     def block_spec():
-        return pl.BlockSpec((NB, h), lambda t, tb, tf, tl: (tb[t], 0),
+        return pl.BlockSpec((NB, h), lambda t, *s: (s[0][t], 0),
                             memory_space=pltpu.VMEM)
 
     def idx_spec():
-        return pl.BlockSpec((ET, 1), lambda t, tb, tf, tl: (t, 0),
+        return pl.BlockSpec((ET, 1), lambda t, *s: (t, 0),
                             memory_space=pltpu.VMEM)
 
     def const_spec(shape):
         nd = len(shape)
-        return pl.BlockSpec(shape, lambda t, tb, tf, tl: (0,) * nd,
+        return pl.BlockSpec(shape, lambda t, *s: (0,) * nd,
                             memory_space=pltpu.VMEM)
 
     nhe = max(ne_hidden, 1)
@@ -351,33 +354,10 @@ def _mega_bwd_call(e, sg, d_proj, x, agg, mask, receivers, ep, npar,
     tile_block, tile_first = derive_tiles(receivers)
     recv2d = receivers.reshape(-1, 1)
     mask2d = mask.reshape(-1, 1)
-
-    def tile_spec():
-        return pl.BlockSpec((ET, h), lambda t, tb, tf: (t, 0),
-                            memory_space=pltpu.VMEM)
-
-    def block_spec():
-        return pl.BlockSpec((NB, h), lambda t, tb, tf: (tb[t], 0),
-                            memory_space=pltpu.VMEM)
-
-    def idx_spec():
-        return pl.BlockSpec((ET, 1), lambda t, tb, tf: (t, 0),
-                            memory_space=pltpu.VMEM)
-
-    def const_spec(shape):
-        nd = len(shape)
-        return pl.BlockSpec(shape, lambda t, tb, tf: (0,) * nd,
-                            memory_space=pltpu.VMEM)
-
+    tile_spec, block_spec, idx_spec, const_spec, edge_w, node_w = _specs(
+        h, ne_hidden, nn_hidden, n_prefetch=2)
     nhe = max(ne_hidden, 1)
     nhn = max(nn_hidden, 1)
-    edge_w = [const_spec((h, h)), const_spec((nhe, h, h)),
-              const_spec((nhe, 1, h)), const_spec((h, h)),
-              const_spec((1, h)), const_spec((1, h)), const_spec((1, h))]
-    node_w = [const_spec((h, h)), const_spec((h, h)), const_spec((1, h)),
-              const_spec((nhn, h, h)), const_spec((nhn, 1, h)),
-              const_spec((h, h)), const_spec((1, h)),
-              const_spec((1, h)), const_spec((1, h))]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,

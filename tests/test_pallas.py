@@ -610,3 +610,35 @@ def test_fused_edge_layer_ln_modes_match(aligned_graph, monkeypatch, mode):
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=3e-4, atol=3e-4)
+
+
+def test_mgn_layer_routes_to_mega(aligned_graph, monkeypatch):
+    """AERO_GNN_MEGA=1 routes mgn_layer_apply through the single-kernel
+    full layer (blocks.py packing included) and matches the XLA path."""
+    from aero_gnn_tpu.nn import blocks as B
+    monkeypatch.setenv("AERO_GNN_MEGA", "1")
+    g, gb = aligned_graph
+    h = 16
+    cfg = B.MGNLayerConfig(node_dim=h, edge_dim=h, hidden_dim=h,
+                           num_hidden_layers_node=2,
+                           num_hidden_layers_edge=2,
+                           do_concat_trick=True)
+    params = B.mgn_layer_init(jax.random.PRNGKey(4), cfg)
+    rng = np.random.default_rng(51)
+    x = jnp.asarray(rng.standard_normal(
+        (gb.num_nodes_pad, h)).astype(np.float32))
+    e = jnp.asarray(rng.standard_normal(
+        (gb.num_edges_pad, h)).astype(np.float32))
+    args = (params, cfg, x, e, gb.senders, gb.receivers, gb.edge_mask,
+            gb.sender_perm, gb.senders_sorted, True)
+    with ops.use_backend("xla"):
+        x_ref, e_ref = B.mgn_layer_apply(*args)
+    with ops.use_backend("pallas"), pltpu.force_tpu_interpret_mode():
+        assert B._mega_layer_ok(params, cfg, x)
+        x_out, e_out = B.mgn_layer_apply(*args)
+    np.testing.assert_allclose(np.asarray(x_out), np.asarray(x_ref),
+                               rtol=3e-4, atol=3e-4)
+    real = np.asarray(gb.edge_mask) > 0
+    np.testing.assert_allclose(np.asarray(e_out)[real],
+                               np.asarray(e_ref)[real],
+                               rtol=3e-4, atol=3e-4)
