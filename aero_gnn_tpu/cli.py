@@ -5,10 +5,11 @@ Counterpart of /root/reference/train.py:418-443 and inference.py:475-526:
     python -m aero_gnn_tpu.cli train --exp <name> [--config path.yaml]
     python -m aero_gnn_tpu.cli infer [--training_dir <dir>]
 
-Precision handling mirrors train.py:19-40 ("single" | "bf16" | "double"),
-mapped onto JAX: bf16 sets compute dtype for matmuls while keeping fp32
-params (the TPU-native mixed-precision recipe); double enables x64 (CPU
-debugging only — the MXU has no fp64).
+Precision handling mirrors train.py:19-40 ("single" | "bf16" | "fp16" |
+"double"), mapped onto JAX: bf16 sets compute dtype for matmuls while
+keeping fp32 params (the TPU-native mixed-precision recipe); fp16 maps to
+bf16 with a printed rationale (no fp16 compute units on TPU); double
+enables x64 (CPU debugging only — the MXU has no fp64).
 """
 
 from __future__ import annotations
@@ -52,9 +53,20 @@ def setup_precision(exp_params: Dict[str, Any]) -> None:
     elif precision in ("bf16", "bfloat16"):
         jax.config.update("jax_default_matmul_precision", "bfloat16")
         print("Using bfloat16 matmul precision")
+    elif precision in ("fp16", "float16", "half"):
+        # Reference train.py:19-40 offers fp16; TPUs have no fp16 compute
+        # units (the MXU natively multiplies in bf16), and fp16's 5-bit
+        # exponent needs loss scaling for stability. bf16 is the TPU-native
+        # half-precision with the same memory/throughput benefit and fp32's
+        # dynamic range, so fp16 requests map onto it rather than erroring.
+        jax.config.update("jax_default_matmul_precision", "bfloat16")
+        print("Requested fp16: TPUs have no fp16 compute path — using "
+              "bfloat16 (same speed/memory class, fp32-range, no loss "
+              "scaling needed)")
     else:
         raise ValueError(f"Unknown precision type: {precision}. Supported: "
-                         "'float32', 'float64', 'bfloat16', 'single'")
+                         "'float32', 'float64', 'bfloat16', 'float16' "
+                         "(mapped to bfloat16 on TPU), 'single'")
 
 
 def infer_dims(samples) -> Dict[str, int]:

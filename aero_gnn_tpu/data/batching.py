@@ -200,10 +200,23 @@ class Loader:
                 if amap is not None:
                     # align EVERY level: level-0 fine rows follow the
                     # GraphBatch alignment, coarse streams get their own
-                    # block alignment so Pallas runs on all scales
-                    levels = H.align_hierarchy(
-                        levels, amap,
-                        edge_pad_targets=self.pad_spec
-                        .hierarchy_aligned_edges)
+                    # block alignment so Pallas runs on all scales.
+                    # The PadSpec "balanced" coarse-edge budget is exact only
+                    # when the greedy min-load bound holds (symmetric coarse
+                    # graphs, no block-capacity saturation); if a batch ever
+                    # exceeds it, retry without fixed targets (one extra
+                    # compile shape instead of a crash).
+                    try:
+                        levels = H.align_hierarchy(
+                            levels, amap,
+                            edge_pad_targets=self.pad_spec
+                            .hierarchy_aligned_edges)
+                    except ValueError:
+                        import warnings
+                        warnings.warn(
+                            "hierarchy aligned-edge budget exceeded; "
+                            "realigning this batch with per-batch sizes "
+                            "(may trigger one recompilation)")
+                        levels = H.align_hierarchy(levels, amap)
                 aux["hierarchy"] = tuple(levels)
             yield gb, aux

@@ -17,6 +17,7 @@ from typing import List, Optional
 import numpy as np
 
 from aero_gnn_tpu.data.dataset import MeshSample
+from aero_gnn_tpu.graph.order import morton_order as _shared_morton_order
 
 
 def naca_profile(n_points: int, thickness: float = 0.12,
@@ -117,18 +118,9 @@ def make_airfoil_dataset(*, n_cases: int = 24, n_points: int = 256,
     return samples
 
 
-def morton_order(pos: np.ndarray, bits: int = 16) -> np.ndarray:
-    """Permutation sorting 2D points by Morton (Z-order) code. Spatially
-    close nodes get close indices — the id locality real mesh generators
-    produce, and what makes node->edge gathers HBM-friendly."""
-    q = np.clip((pos - pos.min(0)) / np.maximum(np.ptp(pos, 0), 1e-12)
-                * (2**bits - 1), 0, 2**bits - 1).astype(np.uint64)
-    code = np.zeros(len(pos), dtype=np.uint64)
-    for b in range(bits):
-        code |= ((q[:, 0] >> np.uint64(b)) & np.uint64(1)) << np.uint64(2 * b)
-        code |= ((q[:, 1] >> np.uint64(b)) & np.uint64(1)) \
-            << np.uint64(2 * b + 1)
-    return np.argsort(code, kind="stable")
+# canonical implementation lives in graph.order (shared with the spatial
+# partitioner)
+morton_order = _shared_morton_order
 
 
 def make_random_mesh_sample(*, n_nodes: int, avg_degree: int = 6,

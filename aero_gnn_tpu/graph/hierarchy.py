@@ -203,8 +203,19 @@ def _assign_bistride(senders: np.ndarray, receivers: np.ndarray,
         kept_nbrs = nbrs[color[nbrs] == 0]
         if len(kept_nbrs):
             fine_to_coarse[v] = coarse_id_of[kept_nbrs.min()]
-        else:  # degenerate: promote to its own coarse node
-            fine_to_coarse[v] = 0 if len(kept_sorted) else 0
+        else:
+            # degenerate (isolated dropped node): attach to the first coarse
+            # node of the SAME graph — coarse_node_graph is sorted, so
+            # searchsorted finds that graph's first coarse id. Falling back to
+            # global node 0 would silently leak features across graphs in a
+            # batch.
+            g = node_graph[v]
+            first_in_graph = int(np.searchsorted(coarse_node_graph, g))
+            if first_in_graph >= len(coarse_node_graph) or \
+                    coarse_node_graph[first_in_graph] != g:
+                raise ValueError(
+                    f"bistride pooling: graph {g} kept no coarse nodes")
+            fine_to_coarse[v] = first_in_graph
     return fine_to_coarse, coarse_node_graph
 
 
@@ -688,6 +699,13 @@ def align_hierarchy(
                                 node_map[:nc_real], assume_unique=False)
             take = nc_pad - nc_real
             node_map[nc_real:] = free[-take:] if take else free[:0]
+            # the override below pins the pad sink at the last slot; it is
+            # only valid when slot nc_pad-1 IS a pad node (all builders
+            # reserve one) — fail loudly rather than clobber a real node
+            if nc_real >= nc_pad:
+                raise ValueError(
+                    "align_hierarchy(balance_blocks=True) requires a pad "
+                    f"sink node (nc_real={nc_real} == nc_pad={nc_pad})")
             node_map[nc_pad - 1] = nc2 - 1
             # relabel everything that carries coarse node ids
             f2c = node_map[np.clip(f2c, 0, nc_pad - 1)].astype(f2c.dtype)

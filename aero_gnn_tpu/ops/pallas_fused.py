@@ -77,11 +77,18 @@ def _ln_stats(d32, h):
         mm = functools.partial(jax.lax.dot_general,
                                dimension_numbers=(((1,), (0,)), ((), ())),
                                preferred_element_type=jnp.float32)
-        mu = mm(d32, ones)
-        # one-pass E[x^2]-mu^2 can round slightly NEGATIVE for
-        # near-constant rows with large mean; clamp so rsqrt(var+eps)
-        # can never see a negative argument (NaN)
-        var = jnp.maximum(mm(d32 * d32, ones) - mu * mu, 0.0)
+        # shifted one-pass: var(x) = E[(x-s)^2] - (E[x-s])^2 with s = first
+        # lane per row. The shift costs one VPU subtract but removes the
+        # catastrophic cancellation of raw E[x^2]-mu^2 when |mean| >> std
+        # (x-s is already ~std-sized), while keeping both matmuls
+        # independent (unlike a true two-pass, which serializes on mu).
+        s = jax.lax.slice_in_dim(d32, 0, 1, axis=1)
+        y = d32 - s
+        mu_y = mm(y, ones)
+        # can still round slightly negative for near-constant rows; clamp
+        # so rsqrt(var+eps) never sees a negative argument (NaN)
+        var = jnp.maximum(mm(y * y, ones) - mu_y * mu_y, 0.0)
+        mu = mu_y + s
     else:
         mu = jnp.mean(d32, axis=-1, keepdims=True)
         var = jnp.mean(jnp.square(d32 - mu), axis=-1, keepdims=True)

@@ -29,6 +29,7 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
+from aero_gnn_tpu.graph.order import morton_order
 from aero_gnn_tpu.graph.padded import sort_edges_by_receiver, _round_up
 from aero_gnn_tpu.nn import blocks as B
 from aero_gnn_tpu.nn import mlp as M
@@ -60,18 +61,8 @@ class SpatialGraph:
         return self.x.shape[1]
 
 
-def _morton_order(pos: np.ndarray, bits: int = 16) -> np.ndarray:
-    """Z-order curve sort for spatial locality of shards."""
-    p = pos - pos.min(axis=0)
-    denom = np.maximum(p.max(axis=0), 1e-12)
-    q = np.minimum(((p / denom) * (2**bits - 1)).astype(np.uint64),
-                   2**bits - 1)
-    code = np.zeros(len(pos), dtype=np.uint64)
-    for b in range(bits):
-        for d in range(min(pos.shape[1], 2)):
-            code |= ((q[:, d] >> np.uint64(b)) & np.uint64(1)) << np.uint64(
-                2 * b + d)
-    return np.argsort(code, kind="stable")
+# canonical implementation lives in graph.order (shared with data.synthetic)
+_morton_order = morton_order
 
 
 def partition_graph(

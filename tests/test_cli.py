@@ -58,3 +58,21 @@ def test_cli_train_then_infer_roundtrip(tiny_config, tmp_path):
 def test_cli_unknown_experiment(tiny_config):
     with pytest.raises(ValueError, match="not found in configuration"):
         cli.main(["train", "--exp", "nope", "--config", tiny_config])
+
+
+def test_setup_precision_matrix(capsys):
+    # reference train.py:19-40 precision matrix fully accounted for:
+    # fp32/bf16 native, fp16 mapped to bf16 (no fp16 compute on TPU),
+    # fp64 via x64 (covered implicitly — not toggled here to avoid
+    # leaking x64 into other tests), unknown rejected.
+    cli.setup_precision({"training": {"precision": "single"}})
+    assert "single precision" in capsys.readouterr().out
+    cli.setup_precision({"training": {"precision": "bf16"}})
+    assert "bfloat16" in capsys.readouterr().out
+    cli.setup_precision({"training": {"precision": "fp16"}})
+    out = capsys.readouterr().out
+    assert "no fp16 compute path" in out and "bfloat16" in out
+    with pytest.raises(ValueError, match="Unknown precision"):
+        cli.setup_precision({"training": {"precision": "int8"}})
+    import jax
+    jax.config.update("jax_default_matmul_precision", None)

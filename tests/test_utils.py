@@ -4,6 +4,7 @@ import json
 import os
 
 import numpy as np
+import pytest
 
 from aero_gnn_tpu.utils import diagnostics as DG
 from aero_gnn_tpu.utils.logging import MetricLogger
@@ -44,7 +45,7 @@ def test_throughput_meter():
         time.sleep(0.001)
     s = m.summary()
     assert s["steps_per_s"] > 0
-    assert s["edges_per_s"] == 1000 * s["steps_per_s"]
+    assert s["edges_per_s"] == pytest.approx(1000 * s["steps_per_s"], rel=1e-6)
     assert m.total_steps == 5
 
 
