@@ -63,16 +63,34 @@ class HierarchyLevel:
     n_node: jax.Array  # i32[]
     n_edge: jax.Array  # i32[]
 
-    # aggregation weights for fine->coarse transfer (WeightedEdgeConv-style;
-    # uniform-mean weights in "stride" mode)
-    node_weights: jax.Array  # f32[Nf] weight of each fine node in its coarse mean
-    edge_weights: jax.Array  # f32[Ef] weight of each fine edge in its coarse mean
+    # geometric aggregation weights for the fine->coarse transfer
+    # (WeightedEdgeConv, canonical BSMS-GNN; see weighted_transfer notes in
+    # models/bsms.py). node_weights = per-fine-node mass (half total incident
+    # edge length); edge_weights = fine edge length (weights the coarse
+    # edge-feature mean). Uniform (1.0) when positions are unavailable.
+    node_weights: jax.Array  # f32[Nf] geometric mass of each fine node
+    edge_weights: jax.Array  # f32[Ef] geometric weight of each fine edge
 
     # Pallas aggregation layout for the COARSE edge stream (present when the
     # hierarchy was aligned via align_hierarchy; same contract as
     # GraphBatch.tile_block/tile_first)
     tile_block: Optional[jax.Array] = None  # i32[T]
     tile_first: Optional[jax.Array] = None  # i32[T]
+
+    # WeightedEdgeConv transfer operator (transfer="weighted"): one
+    # mass-normalized aggregation over the FINE edge stream followed by
+    # representative selection. For fine node i with mass w_i and in-
+    # neighbors j:  x~_i = (w_i x_i + sum_j w_j x_j) / (w_i + sum_j w_j),
+    # i.e. conv_self[i] = w_i/denom_i and conv_edge[e] =
+    # w_send(e)/denom_recv(e); rows sum to 1, so constant fields are
+    # preserved exactly. rep_mask marks the ONE fine node that becomes each
+    # coarse node (bistride: the kept node; stride: the min-x member), so
+    # the down transfer is select(rep) after the conv and the up transfer is
+    # the exact adjoint (place-at-rep then transposed conv). All three are
+    # fine-row artifacts (node rows / edge rows), zero on pads.
+    rep_mask: Optional[jax.Array] = None   # f32[Nf] 1.0 at coarse reps
+    conv_self: Optional[jax.Array] = None  # f32[Nf]
+    conv_edge: Optional[jax.Array] = None  # f32[Ef]
 
     # Sorted-pooling permutations: fine rows ordered by their coarse target
     # (host-precomputed stable argsort of fine_to_coarse / edge_to_coarse).
@@ -125,13 +143,60 @@ def with_pool_perms(level: HierarchyLevel) -> HierarchyLevel:
     )
 
 
+def _geometric_weights(senders: np.ndarray, receivers: np.ndarray,
+                       pos: Optional[np.ndarray], num_nodes: int) -> tuple:
+    """Geometric transfer weights: node mass = half the total incident edge
+    length (the 1D surface-mesh lumped 'area' — same quantity the reference's
+    2D coefficient integration assigns to nodes, /root/reference/utils.py:
+    516-521); edge weight = edge length. Uniform when positions are absent.
+    Returns (node_w[num_nodes], edge_w[num_edges]) as float64."""
+    if pos is not None and len(senders):
+        el = np.linalg.norm(
+            pos[senders].astype(np.float64) - pos[receivers], axis=1)
+        el = np.maximum(el, 1e-12)
+        nw = np.zeros(num_nodes, dtype=np.float64)
+        np.add.at(nw, receivers, el / 2.0)
+        nw = np.maximum(nw, 1e-12)
+    else:
+        el = np.ones(len(senders), dtype=np.float64)
+        nw = np.ones(num_nodes, dtype=np.float64)
+    return nw, el
+
+
+def _conv_weights(senders: np.ndarray, receivers: np.ndarray,
+                  node_w: np.ndarray, num_nodes: int) -> tuple:
+    """Receiver-normalized WeightedEdgeConv weights (see HierarchyLevel
+    docstring): conv_self[i] = w_i/denom_i, conv_edge[e] =
+    w_send(e)/denom_recv(e), denom_i = w_i + sum of sender masses into i.
+    Row sums are exactly 1 -> the conv preserves constant fields."""
+    denom = node_w.astype(np.float64).copy()
+    np.add.at(denom, receivers, node_w[senders])
+    denom = np.maximum(denom, 1e-12)
+    conv_self = node_w / denom
+    conv_edge = node_w[senders] / denom[receivers]
+    return conv_self, conv_edge
+
+
+def _rep_mask_first(fine_to_coarse: np.ndarray, num_nodes: int) -> np.ndarray:
+    """1.0 at the first (stable-order) fine node of each coarse segment."""
+    mask = np.zeros(num_nodes, dtype=np.float64)
+    if num_nodes:
+        order = np.argsort(fine_to_coarse[:num_nodes], kind="stable")
+        sorted_ids = fine_to_coarse[order]
+        first = np.ones(num_nodes, dtype=bool)
+        first[1:] = sorted_ids[1:] != sorted_ids[:-1]
+        mask[order[first]] = 1.0
+    return mask
+
+
 def _assign_stride(pos: np.ndarray, node_graph: np.ndarray,
                    stride: int) -> tuple:
     """Reference-parity assignment: per graph, rank nodes by x then group by
     ``rank // stride`` (bsms_mgn.py:240-252). Returns (fine_to_coarse,
-    coarse_node_graph)."""
+    coarse_node_graph, rep_mask) — rep = the min-x member of each group."""
     n = pos.shape[0]
     fine_to_coarse = np.empty(n, dtype=np.int64)
+    rep_mask = np.zeros(n, dtype=np.float64)
     coarse_graph_ids: List[np.ndarray] = []
     offset = 0
     for gid in np.unique(node_graph):
@@ -142,17 +207,21 @@ def _assign_stride(pos: np.ndarray, node_graph: np.ndarray,
         local = ranks // stride
         n_coarse = int(local.max()) + 1 if len(idx) else 0
         fine_to_coarse[idx] = local + offset
+        rep_mask[idx[ranks % stride == 0]] = 1.0
         coarse_graph_ids.append(np.full(n_coarse, gid, dtype=np.int64))
         offset += n_coarse
     coarse_node_graph = (np.concatenate(coarse_graph_ids)
                          if coarse_graph_ids else np.zeros(0, np.int64))
-    return fine_to_coarse, coarse_node_graph
+    return fine_to_coarse, coarse_node_graph, rep_mask
 
 
 def _assign_bistride(senders: np.ndarray, receivers: np.ndarray,
                      node_graph: np.ndarray, num_nodes: int) -> tuple:
     """Bi-stride assignment: BFS 2-coloring per graph; kept (even-frontier)
     nodes become coarse nodes; dropped nodes attach to an adjacent kept node.
+    Returns (fine_to_coarse, coarse_node_graph, rep_mask) — rep = the kept
+    node itself (each coarse node IS a fine node, the WeightedEdgeConv
+    selection point).
 
     Deterministic: seeds at the min-degree lowest-index node; neighbor scans
     in index order (CSR).
@@ -216,7 +285,9 @@ def _assign_bistride(senders: np.ndarray, receivers: np.ndarray,
                 raise ValueError(
                     f"bistride pooling: graph {g} kept no coarse nodes")
             fine_to_coarse[v] = first_in_graph
-    return fine_to_coarse, coarse_node_graph
+    rep_mask = np.zeros(num_nodes, dtype=np.float64)
+    rep_mask[kept] = 1.0
+    return fine_to_coarse, coarse_node_graph, rep_mask
 
 
 def _coarse_edges(senders: np.ndarray, receivers: np.ndarray,
@@ -254,14 +325,15 @@ def build_hierarchy_level(
     unpadded coarse arrays {senders, receivers, node_graph, num_nodes, pos}
     for building the next level.
     """
+    geo_pos = pos  # geometric weights only from REAL positions
     if mode == "stride":
         if pos is None:
             # reference behavior without pos: keep original order
             # (bsms_mgn.py:244-245)
             pos = np.arange(num_nodes, dtype=np.float64)[:, None]
-        f2c, c_node_graph = _assign_stride(pos, node_graph, stride)
+        f2c, c_node_graph, rep = _assign_stride(pos, node_graph, stride)
     elif mode == "bistride":
-        f2c, c_node_graph = _assign_bistride(
+        f2c, c_node_graph, rep = _assign_bistride(
             senders, receivers, node_graph, num_nodes)
     else:
         raise ValueError(f"Unknown hierarchy mode: {mode}")
@@ -308,12 +380,20 @@ def build_hierarchy_level(
     ng_p = np.full(nc_pad, 0, dtype=np.int32)
     ng_p[:num_coarse] = c_node_graph
 
-    # uniform mean weights (stride parity); bistride also uses uniform means
-    # for pooling, weighted variants can be layered on later.
+    # geometric weights + WeightedEdgeConv operator (transfer="weighted";
+    # the "mean" transfer ignores all of these — stride parity untouched)
+    nw_r, ew_r = _geometric_weights(senders, receivers, geo_pos, num_nodes)
+    cself_r, cedge_r = _conv_weights(senders, receivers, nw_r, num_nodes)
     nw = np.zeros(nf_pad, dtype=dtype)
-    nw[:num_nodes] = 1.0
+    nw[:num_nodes] = nw_r
     ew = np.zeros(ef_pad, dtype=dtype)
-    ew[: len(edge_to_ce)] = 1.0
+    ew[: len(ew_r)] = ew_r
+    rep_p = np.zeros(nf_pad, dtype=dtype)
+    rep_p[:num_nodes] = rep
+    cself_p = np.zeros(nf_pad, dtype=dtype)
+    cself_p[:num_nodes] = cself_r
+    cedge_p = np.zeros(ef_pad, dtype=dtype)
+    cedge_p[: len(cedge_r)] = cedge_r
 
     sperm = np.argsort(cs_p, kind="stable").astype(np.int32)
     level = HierarchyLevel(
@@ -330,6 +410,9 @@ def build_hierarchy_level(
         n_edge=jnp.asarray(e_coarse, dtype=jnp.int32),
         node_weights=jnp.asarray(nw),
         edge_weights=jnp.asarray(ew),
+        rep_mask=jnp.asarray(rep_p),
+        conv_self=jnp.asarray(cself_p),
+        conv_edge=jnp.asarray(cedge_p),
     )
     coarse_real = {
         "senders": c_s,
@@ -373,9 +456,9 @@ def build_hierarchy_real(
             p = cur_pos
             if p is None:
                 p = np.arange(cur_n, dtype=np.float64)[:, None]
-            f2c, c_ng = _assign_stride(p, cur_ng, stride)
+            f2c, c_ng, rep = _assign_stride(p, cur_ng, stride)
         elif mode == "bistride":
-            f2c, c_ng = _assign_bistride(cur_s, cur_r, cur_ng, cur_n)
+            f2c, c_ng, rep = _assign_bistride(cur_s, cur_r, cur_ng, cur_n)
         else:
             raise ValueError(f"Unknown hierarchy mode: {mode}")
         n_coarse = len(c_ng)
@@ -391,23 +474,17 @@ def build_hierarchy_real(
             np.add.at(c_pos, f2c, cur_pos)
             np.add.at(cnt, f2c, 1.0)
             c_pos /= np.maximum(cnt, 1.0)[:, None]
-        # geometric node weights for WeightedEdgeConv-style transfer
-        # (canonical BSMS-GNN): half the total incident edge length per
-        # node; uniform when positions are absent.
-        if cur_pos is not None and len(cur_s):
-            lengths = np.linalg.norm(
-                cur_pos[cur_s] - cur_pos[cur_r], axis=1)
-            nw = np.zeros(cur_n)
-            np.add.at(nw, cur_r, lengths / 2.0)
-            nw = np.maximum(nw, 1e-12)
-        else:
-            nw = np.ones(cur_n)
+        # geometric weights + WeightedEdgeConv operator on the FINE graph of
+        # this level (same math as build_hierarchy_level)
+        nw, ew = _geometric_weights(cur_s, cur_r, cur_pos, cur_n)
+        cself, cedge = _conv_weights(cur_s, cur_r, nw, cur_n)
         levels.append({
             "fine_to_coarse": f2c, "edge_to_coarse": e2c,
             "senders": c_s, "receivers": c_r, "node_graph": c_ng,
             "num_nodes": n_coarse, "num_edges": len(c_s),
             "num_fine_nodes": cur_n, "num_fine_edges": len(cur_s),
-            "pos": c_pos, "node_weights": nw,
+            "pos": c_pos, "node_weights": nw, "edge_weights": ew,
+            "rep_mask": rep, "conv_self": cself, "conv_edge": cedge,
         })
         cur_s, cur_r, cur_ng, cur_n, cur_pos = c_s, c_r, c_ng, n_coarse, c_pos
     return levels
@@ -441,6 +518,9 @@ def collate_hierarchies(
         ng_p = np.zeros(nc_pad, dtype=np.int32)
         nw = np.zeros(nf_pad, dtype=dtype)
         ew = np.zeros(ef_pad, dtype=dtype)
+        rep_p = np.zeros(nf_pad, dtype=dtype)
+        cself_p = np.zeros(nf_pad, dtype=dtype)
+        cedge_p = np.zeros(ef_pad, dtype=dtype)
         fn_off = fe_off = cn_off = ce_off = 0
         for gi, levels in enumerate(per_sample):
             lvl = levels[s]
@@ -455,7 +535,14 @@ def collate_hierarchies(
             ng_p[cn_off:cn_off + nc] = gi
             nw[fn_off:fn_off + nf] = lvl.get(
                 "node_weights", np.ones(nf))[:nf]
-            ew[fe_off:fe_off + ef] = 1.0
+            ew[fe_off:fe_off + ef] = lvl.get(
+                "edge_weights", np.ones(ef))[:ef]
+            rep_p[fn_off:fn_off + nf] = lvl.get(
+                "rep_mask", _rep_mask_first(lvl["fine_to_coarse"], nf))[:nf]
+            cself_p[fn_off:fn_off + nf] = lvl.get(
+                "conv_self", np.ones(nf))[:nf]
+            cedge_p[fe_off:fe_off + ef] = lvl.get(
+                "conv_edge", np.zeros(ef))[:ef]
             fn_off += nf
             fe_off += ef
             cn_off += nc
@@ -476,6 +563,8 @@ def collate_hierarchies(
             n_node=jnp.asarray(cn_off, dtype=jnp.int32),
             n_edge=jnp.asarray(ce_off, dtype=jnp.int32),
             node_weights=jnp.asarray(nw), edge_weights=jnp.asarray(ew),
+            rep_mask=jnp.asarray(rep_p), conv_self=jnp.asarray(cself_p),
+            conv_edge=jnp.asarray(cedge_p),
         )))
         nf_pad, ef_pad = nc_pad, ec_pad
     return out
@@ -500,11 +589,13 @@ def realign_level0(level: HierarchyLevel,
     idx = np.where(ok, src, 0)
     e2c_a = np.where(ok, e2c[idx], ec_pad - 1).astype(np.int32)
     ew_a = np.where(ok, ew[idx], 0.0).astype(ew.dtype)
-    return with_pool_perms(dataclasses.replace(
-        level,
-        edge_to_coarse=jnp.asarray(e2c_a),
-        edge_weights=jnp.asarray(ew_a),
-    ))
+    fields = dict(edge_to_coarse=jnp.asarray(e2c_a),
+                  edge_weights=jnp.asarray(ew_a))
+    if level.conv_edge is not None:
+        ce = np.asarray(level.conv_edge)
+        fields["conv_edge"] = jnp.asarray(
+            np.where(ok, ce[idx], 0.0).astype(ce.dtype))
+    return with_pool_perms(dataclasses.replace(level, **fields))
 
 
 def build_hierarchy(
@@ -645,6 +736,13 @@ def align_hierarchy(
         e2c = np.asarray(level.edge_to_coarse)
         nw = np.asarray(level.node_weights)
         ew = np.asarray(level.edge_weights)
+        has_conv = level.conv_edge is not None
+        rep = (np.asarray(level.rep_mask) if has_conv
+               else np.zeros_like(nw))
+        cself = (np.asarray(level.conv_self) if has_conv
+                 else np.zeros_like(nw))
+        cedge = (np.asarray(level.conv_edge) if has_conv
+                 else np.zeros_like(ew))
         nc_pad = level.num_coarse_nodes_pad
         ec_pad = level.num_coarse_edges_pad
 
@@ -654,20 +752,27 @@ def align_hierarchy(
             idx = np.where(ok, prev_src, 0)
             e2c = np.where(ok, e2c[idx], ec_pad - 1).astype(np.int32)
             ew = np.where(ok, ew[idx], 0.0).astype(ew.dtype)
+            cedge = np.where(ok, cedge[idx], 0.0).astype(cedge.dtype)
         if prev_node_map is not None:
             # previous level's coarse rows were relabeled: scatter this
             # level's fine-node artifacts onto the new rows
             assert prev_nf_new is not None
             f2c_new = np.full(prev_nf_new, nc_pad - 1, f2c.dtype)
             nw_new = np.zeros(prev_nf_new, nw.dtype)
+            rep_new = np.zeros(prev_nf_new, rep.dtype)
+            cself_new = np.zeros(prev_nf_new, cself.dtype)
             f2c_new[prev_node_map] = f2c[:len(prev_node_map)]
             nw_new[prev_node_map] = nw[:len(prev_node_map)]
-            f2c, nw = f2c_new, nw_new
+            rep_new[prev_node_map] = rep[:len(prev_node_map)]
+            cself_new[prev_node_map] = cself[:len(prev_node_map)]
+            f2c, nw, rep, cself = f2c_new, nw_new, rep_new, cself_new
         elif prev_nf_new is not None and prev_nf_new > len(f2c):
             extra = prev_nf_new - len(f2c)
             f2c = np.concatenate(
                 [f2c, np.full(extra, nc_pad - 1, f2c.dtype)])
             nw = np.concatenate([nw, np.zeros(extra, nw.dtype)])
+            rep = np.concatenate([rep, np.zeros(extra, rep.dtype)])
+            cself = np.concatenate([cself, np.zeros(extra, cself.dtype)])
 
         # ---- 2a. extend coarse node padding to a block multiple ----
         nc2 = max(_round_up(nc_pad, NB), NB)
@@ -771,6 +876,11 @@ def align_hierarchy(
         ssort = s_p[sperm]
         sperm, ssort = _align_sender_stream(sperm, ssort, em, nc2)
 
+        conv_fields = {}
+        if has_conv:
+            conv_fields = dict(rep_mask=jnp.asarray(rep),
+                               conv_self=jnp.asarray(cself),
+                               conv_edge=jnp.asarray(cedge))
         out.append(with_pool_perms(dataclasses.replace(
             level,
             fine_to_coarse=jnp.asarray(f2c.astype(np.int32)),
@@ -786,6 +896,7 @@ def align_hierarchy(
             edge_weights=jnp.asarray(ew),
             tile_block=jnp.asarray(tb_full),
             tile_first=jnp.asarray(tf_full),
+            **conv_fields,
         )))
 
         # maps for the NEXT level's fine side: aligned edge row -> old

@@ -28,7 +28,66 @@ from aero_gnn_tpu.graph.hierarchy import HierarchyLevel
 from aero_gnn_tpu.models.mgn import MGNConfig, run_processor, _sub
 from aero_gnn_tpu.nn import blocks as B
 from aero_gnn_tpu.nn import mlp as M
-from aero_gnn_tpu.ops import gather_senders, segment_mean, segment_pool_sum
+from aero_gnn_tpu.ops import (
+    gather_receivers,
+    gather_senders,
+    segment_mean,
+    segment_pool_sum,
+    segment_sum_sorted,
+)
+
+
+def wec_aggregate(level: HierarchyLevel, x: jax.Array, senders, receivers,
+                  sperm=None, ssort=None, aligned: bool = False) -> jax.Array:
+    """WeightedEdgeConv neighborhood aggregation on FINE node rows.
+
+    x~_i = conv_self[i] x_i + sum_{e: recv(e)=i} conv_edge[e] x_{send(e)};
+    rows sum to 1 (graph.hierarchy._conv_weights), so constant fields are
+    preserved exactly. conv weights are f32 and zero on pad rows — products
+    promote, the segment sum accumulates in f32, no masking needed. The
+    gather/scatter pair rides the sorted custom-VJP ops (ops/scatter.py)."""
+    xs = gather_senders(x, senders, sperm, ssort, aligned=aligned)
+    return level.conv_self[:, None] * x + segment_sum_sorted(
+        level.conv_edge[:, None] * xs, receivers, x.shape[0])
+
+
+def wec_down(level: HierarchyLevel, x: jax.Array, senders, receivers,
+             sperm=None, ssort=None, aligned: bool = False,
+             pool=None) -> jax.Array:
+    """Weighted fine->coarse node transfer (canonical BSMS-GNN): conv, then
+    select each coarse node's representative fine node (rep_mask marks
+    exactly one per coarse node). ``pool`` overrides the segment-sum used
+    for the selection (models pass their sorted-pool closure)."""
+    sel = wec_aggregate(level, x, senders, receivers, sperm, ssort,
+                        aligned) * level.rep_mask[:, None]
+    if pool is not None:
+        return pool(sel)
+    return jax.ops.segment_sum(sel, level.fine_to_coarse,
+                               num_segments=level.num_coarse_nodes_pad)
+
+
+def wec_up(level: HierarchyLevel, xc_fine: jax.Array, senders, receivers,
+           sperm=None, ssort=None, aligned: bool = False) -> jax.Array:
+    """Weighted coarse->fine transfer — the EXACT adjoint of wec_down.
+
+    ``xc_fine`` is the coarse tensor already gathered onto fine rows
+    (x_c[fine_to_coarse]). Place each coarse value at its representative
+    (z = rep_mask * xc_fine), then the TRANSPOSED conv spreads it over the
+    fine neighborhood with the same weights:
+      y[i] = conv_self[i] z[i] + sum_{e: send(e)=i} conv_edge[e] z[recv(e)].
+    The scatter-to-senders rides the sender-sorted stream
+    (ops.segment_pool_sum: gather-by-perm + SORTED segment sum); aligned
+    sender streams may repeat a masked pad row in the perm, whose conv_edge
+    is 0, so those slots contribute exactly zero."""
+    z = xc_fine * level.rep_mask[:, None]
+    zr = gather_receivers(z, receivers, aligned=aligned)
+    term = level.conv_edge[:, None] * zr
+    if sperm is not None and ssort is not None:
+        spread = segment_pool_sum(term, senders, z.shape[0],
+                                  perm=sperm, seg_sorted=ssort)
+    else:
+        spread = jax.ops.segment_sum(term, senders, num_segments=z.shape[0])
+    return level.conv_self[:, None] * z + spread
 
 
 def _sorted_pool_enabled() -> bool:
@@ -50,9 +109,17 @@ class BSMSConfig(MGNConfig):
     stride: int = 2
     hierarchy_mode: str = "stride"  # "stride" (reference parity) | "bistride"
     # fine->coarse transfer: "mean" (reference parity, bsms_mgn.py:265) |
-    # "weighted" — WeightedEdgeConv-style geometric weights (canonical
-    # BSMS-GNN): nodes pooled with per-node area weights (half incident
-    # edge length), precomputed on host (HierarchyLevel.node_weights).
+    # "weighted" — the canonical BSMS-GNN WeightedEdgeConv (Cao et al. 2023;
+    # the in-tree reference bsms_mgn.py:265-288 uses the scatter_mean
+    # simplification). Down: one mass-normalized aggregation over the FINE
+    # edge stream (conv_self/conv_edge, precomputed from geometric node
+    # masses on host — graph.hierarchy._conv_weights) followed by selection
+    # of each coarse node's representative fine node (rep_mask). Up: the
+    # exact adjoint — place the coarse value at the representative, then the
+    # TRANSPOSED conv spreads it over the fine neighborhood with the same
+    # weights (the paper aggregates "in reverse direction with the same
+    # edge weights"). Coarse edge features use a length-weighted mean
+    # (HierarchyLevel.edge_weights) instead of the count mean.
     transfer: str = "mean"
 
     @property
@@ -158,33 +225,41 @@ class BSMSConfig(MGNConfig):
                     v, level.fine_to_coarse,
                     num_segments=level.num_coarse_nodes_pad)
 
-            # masks stay f32 so the products promote and the segment sums
-            # ACCUMULATE in f32 (segment_mean's behavior — bf16 sums lose
-            # precision for high-multiplicity coarse targets); the results
-            # are cast back to the compute dtype — the f32 promotion used
-            # to leak into every coarse level, silently running the coarse
-            # processors (incl. the fused kernels) in f32
+            def _pool_edges(v):
+                if sorted_pool:
+                    return segment_pool_sum(
+                        v, level.edge_to_coarse,
+                        level.num_coarse_edges_pad,
+                        perm=level.edge_pool_perm,
+                        seg_sorted=level.edge_pool_sorted)
+                return jax.ops.segment_sum(
+                    v, level.edge_to_coarse,
+                    num_segments=level.num_coarse_edges_pad)
+
+            # masks/weights stay f32 so the products promote and the segment
+            # sums ACCUMULATE in f32 (segment_mean's behavior — bf16 sums
+            # lose precision for high-multiplicity coarse targets); the
+            # results are cast back to the compute dtype — the f32 promotion
+            # used to leak into every coarse level, silently running the
+            # coarse processors (incl. the fused kernels) in f32
             dt = x.dtype
             if self.transfer == "weighted":
-                w = level.node_weights * node_mask
-                wsum = _pool_nodes(w)
-                x = _pool_nodes(x * w[:, None])
-                x = (x / jnp.maximum(wsum, 1e-12)[:, None]).astype(dt)
+                x = wec_down(level, x, senders, receivers, sperm, ssort,
+                             aligned, pool=_pool_nodes).astype(dt)
             else:
                 x = _pool_nodes(x * node_mask[:, None])
                 cnt = _pool_nodes(node_mask)
                 x = (x / jnp.maximum(cnt, 1.0)[:, None]).astype(dt)
-            if sorted_pool:
-                es = segment_pool_sum(
-                    e * edge_mask[:, None], level.edge_to_coarse,
-                    level.num_coarse_edges_pad,
-                    perm=level.edge_pool_perm,
-                    seg_sorted=level.edge_pool_sorted)
-                ecnt = segment_pool_sum(
-                    edge_mask, level.edge_to_coarse,
-                    level.num_coarse_edges_pad,
-                    perm=level.edge_pool_perm,
-                    seg_sorted=level.edge_pool_sorted)
+            if self.transfer == "weighted":
+                # length-weighted coarse edge features (edge_weights are
+                # fine edge lengths, zero on pads)
+                w_e = level.edge_weights * edge_mask
+                es = _pool_edges(e * w_e[:, None])
+                wsum = _pool_edges(w_e)
+                e = (es / jnp.maximum(wsum, 1e-12)[:, None]).astype(dt)
+            elif sorted_pool:
+                es = _pool_edges(e * edge_mask[:, None])
+                ecnt = _pool_edges(edge_mask)
                 e = (es / jnp.maximum(ecnt, 1.0)[:, None]).astype(dt)
             else:
                 e = segment_mean(e, level.edge_to_coarse,
@@ -221,6 +296,9 @@ class BSMSConfig(MGNConfig):
             else:
                 xc = x.at[level.fine_to_coarse].get(
                     mode="promise_in_bounds")
+            if self.transfer == "weighted":
+                xc = wec_up(level, xc, senders, receivers, sperm, ssort,
+                            aligned).astype(xc.dtype)
             x = xc + skip_x
             e = skip_e
             x, e = run_processor(params["up"][i], self.layer_cfg, x, e,

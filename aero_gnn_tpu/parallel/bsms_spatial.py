@@ -91,15 +91,13 @@ def partition_bsms(
     el = fine.senders_global.shape[1]
 
     # hierarchy level-0 arrays are in receiver-sorted GLOBAL edge order;
-    # map them into each shard's local edge order
+    # map them into each shard's local edge order. Vectorized: receiver-
+    # major lex order makes the composite key recv*n + send strictly
+    # ascending, so the (recv, send) -> hierarchy-row lookup is one
+    # searchsorted instead of an O(E) Python dict loop.
     lvl0 = levels[0]
     perm0 = sort_edges_by_receiver(senders, receivers)
-    g_send = senders[perm0]
-    g_recv = receivers[perm0]
-    # key the global sorted edges for lookup: (recv, send) -> hierarchy row
-    row_of = {}
-    for i in range(len(g_send)):
-        row_of[(int(g_recv[i]), int(g_send[i]))] = i
+    gkey = receivers[perm0].astype(np.int64) * n + senders[perm0]
 
     nc1 = _round_up(lvl0["num_nodes"] + 1, 128)
     ec1 = _round_up(max(lvl0["num_edges"], 1), 128)
@@ -107,24 +105,21 @@ def partition_bsms(
     f2c = np.full((num_parts, n_local), nc1 - 1, dtype=np.int32)
     e2c = np.full((num_parts, el), ec1 - 1, dtype=np.int32)
     new_of_old = np.full(n, -1, dtype=np.int64)
-    for p in range(num_parts):
-        chunk = order[p * n_local:(p + 1) * n_local]
-        new_of_old[chunk] = p * n_local + np.arange(len(chunk))
-        f2c[p, : len(chunk)] = lvl0["fine_to_coarse"][chunk]
     old_of_new = np.full(num_parts * n_local, -1, dtype=np.int64)
     for p in range(num_parts):
         chunk = order[p * n_local:(p + 1) * n_local]
+        new_of_old[chunk] = p * n_local + np.arange(len(chunk))
         old_of_new[p * n_local: p * n_local + len(chunk)] = chunk
+        f2c[p, : len(chunk)] = lvl0["fine_to_coarse"][chunk]
     sg = np.asarray(fine.senders_global)
     rl = np.asarray(fine.receivers_local)
     em = np.asarray(fine.edge_mask)
-    for p in range(num_parts):
-        for i in range(el):
-            if em[p, i] == 0:
-                continue
-            old_s = int(old_of_new[int(sg[p, i])])
-            old_r = int(old_of_new[p * n_local + int(rl[p, i])])
-            e2c[p, i] = lvl0["edge_to_coarse"][row_of[(old_r, old_s)]]
+    part_of = np.repeat(np.arange(num_parts), el).reshape(num_parts, el)
+    valid = em > 0
+    old_s = old_of_new[sg[valid]]
+    old_r = old_of_new[part_of[valid] * n_local + rl[valid]]
+    rows = np.searchsorted(gkey, old_r * n + old_s)
+    e2c[valid] = lvl0["edge_to_coarse"][rows]
 
     # replicated coarse-level arrays (levels 1..S-1 graphs + transitions)
     cs, cr, cem, cnm, cf2c, ce2c = [], [], [], [], [], []
@@ -246,14 +241,19 @@ def bsms_spatial_forward(params, cfg, bg: BSMSSpatialGraph, *,
     return M.mlp_apply(params["decoder"], x, activation=cfg.activation)
 
 
+def _localize(bg: BSMSSpatialGraph) -> BSMSSpatialGraph:
+    """Strip the leading shard axis from the sharded fields (inside
+    shard_map each shard sees [1, ...])."""
+    return dataclasses.replace(
+        bg, fine=jax.tree.map(lambda a: a[0], bg.fine),
+        fine_to_coarse=bg.fine_to_coarse[0],
+        edge_to_coarse=bg.edge_to_coarse[0])
+
+
 def make_bsms_spatial_forward(model_cfg, mesh: Mesh, *,
                               axis: str = "graph"):
     def per_shard(params, bg):
-        local = jax.tree.map(lambda a: a[0], bg.fine)
-        bg_l = dataclasses.replace(
-            bg, fine=local,
-            fine_to_coarse=bg.fine_to_coarse[0],
-            edge_to_coarse=bg.edge_to_coarse[0])
+        bg_l = _localize(bg)
         return bsms_spatial_forward(params, model_cfg, bg_l, axis=axis)[None]
 
     def in_spec_for(bg):
@@ -276,5 +276,54 @@ def make_bsms_spatial_forward(model_cfg, mesh: Mesh, *,
                         in_specs=(P(), in_spec_for(bg)),
                         out_specs=P(axis), check_vma=False)
         return jax.jit(fwd)(params, bg)
+
+    return run
+
+
+def _bsms_in_spec(bg: BSMSSpatialGraph, axis: str) -> BSMSSpatialGraph:
+    return BSMSSpatialGraph(
+        fine=jax.tree.map(lambda _: P(axis), bg.fine),
+        fine_to_coarse=P(axis), edge_to_coarse=P(axis),
+        coarse_senders=jax.tree.map(lambda _: P(), bg.coarse_senders),
+        coarse_receivers=jax.tree.map(lambda _: P(), bg.coarse_receivers),
+        coarse_edge_mask=jax.tree.map(lambda _: P(), bg.coarse_edge_mask),
+        coarse_node_mask=jax.tree.map(lambda _: P(), bg.coarse_node_mask),
+        coarse_f2c=jax.tree.map(lambda _: P(), bg.coarse_f2c),
+        coarse_e2c=jax.tree.map(lambda _: P(), bg.coarse_e2c),
+    )
+
+
+def make_bsms_spatial_train_step(model_cfg, optimizer, mesh: Mesh, *,
+                                 axis: str = "graph"):
+    """Training step on an edge-partitioned BSMS mesh (BASELINE config[4]).
+
+    Loss and grads are psum'd over the graph axis; on a 2D (data, graph)
+    mesh the data axis is simply replicated (stack BSMS graphs and add a
+    pmean for true hybrid batches, cf. parallel.hybrid)."""
+    import optax
+
+    def per_shard(params, opt_state, bg):
+        bg_l = _localize(bg)
+
+        def loss_fn(p):
+            pred = bsms_spatial_forward(p, model_cfg, bg_l, axis=axis)
+            m = bg_l.fine.node_mask[:, None]
+            se = jax.lax.psum(
+                jnp.sum(jnp.square(pred - bg_l.fine.y) * m), axis)
+            cnt = jax.lax.psum(jnp.sum(m) * bg_l.fine.y.shape[-1], axis)
+            return se / cnt
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        grads = jax.lax.psum(grads, axis)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    def run(params, opt_state, bg):
+        step = shard_map(per_shard, mesh=mesh,
+                         in_specs=(P(), P(), _bsms_in_spec(bg, axis)),
+                         out_specs=(P(), P(), P()),
+                         check_vma=False)
+        return jax.jit(step)(params, opt_state, bg)
 
     return run

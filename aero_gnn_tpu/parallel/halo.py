@@ -61,6 +61,81 @@ class HaloSpatialGraph:
         return self.send_idx.shape[2]
 
 
+def _halo_plan(s_new: np.ndarray, owner_s: np.ndarray, owner_r: np.ndarray,
+               n_local: int, num_parts: int, halo_pad_multiple: int):
+    """Fully vectorized halo plan (no per-edge Python loops — the previous
+    dict-based builder was O(E) Python at 10^6+ edges).
+
+    Returns (send_idx [P, P, H], H, halo_slot [E]) where halo_slot[i] is the
+    slot of edge i's sender in the RECEIVER's halo table (n_local + p*H + k),
+    valid only where owner_s != owner_r.
+    """
+    bmask = owner_s != owner_r
+    # one sorted-unique over composite keys replaces P^2 masked unique()s:
+    # key = ((src_part * P) + dst_part) * n_local + src_local_row
+    pair = owner_s[bmask] * num_parts + owner_r[bmask]
+    row = s_new[bmask] - owner_s[bmask] * n_local
+    key = pair * np.int64(n_local) + row
+    uk, inv = np.unique(key, return_inverse=True)
+    uk_pair = uk // n_local
+    uk_row = uk % n_local
+    seg_start = np.searchsorted(uk_pair, np.arange(num_parts * num_parts))
+    counts = np.diff(np.append(seg_start, len(uk)))
+    h_max = int(counts.max()) if len(uk) else 0
+    H = max(_round_up(max(h_max, 1), halo_pad_multiple), halo_pad_multiple)
+
+    send_idx = np.zeros((num_parts, num_parts, H), dtype=np.int32)
+    slot = np.arange(len(uk)) - seg_start[uk_pair]
+    send_idx[uk_pair // num_parts, uk_pair % num_parts, slot] = uk_row
+
+    halo_slot = np.zeros(len(s_new), dtype=np.int64)
+    halo_slot[bmask] = owner_s[bmask] * H + slot[inv]
+    return send_idx, H, halo_slot
+
+
+def _assign_parts(pos: np.ndarray, n: int, num_parts: int):
+    """Morton-ordered equal-size node partition: (order, new_of_old,
+    n_local)."""
+    order = _morton_order(pos)
+    n_local = -(-n // num_parts)
+    new_of_old = np.full(n, -1, dtype=np.int64)
+    for p in range(num_parts):
+        chunk = order[p * n_local:(p + 1) * n_local]
+        new_of_old[chunk] = p * n_local + np.arange(len(chunk))
+    return order, new_of_old, n_local
+
+
+def _pack_nodes(order, n_local, num_parts, x, y, dtype):
+    xs = np.zeros((num_parts, n_local, x.shape[1]), dtype=dtype)
+    ys = np.zeros((num_parts, n_local,
+                   y.shape[1] if y is not None else 1), dtype=dtype)
+    nm = np.zeros((num_parts, n_local), dtype=dtype)
+    for p in range(num_parts):
+        chunk = order[p * n_local:(p + 1) * n_local]
+        k = len(chunk)
+        xs[p, :k] = x[chunk]
+        if y is not None:
+            ys[p, :k] = y[chunk]
+        nm[p, :k] = 1.0
+    return xs, ys, nm
+
+
+def _pack_edge_streams(parts, num_parts, de, pad_multiple, dtype):
+    """Pack per-part (comb, recv_local, edge_attr) triples into padded
+    [P, El, ...] arrays. Pad edges point at slot 0 with mask 0."""
+    el = _round_up(max(max((len(c) for c, _, _ in parts), default=1), 1),
+                   pad_multiple)
+    sc = np.zeros((num_parts, el), dtype=np.int32)
+    rl = np.zeros((num_parts, el), dtype=np.int32)
+    ea = np.zeros((num_parts, el, de), dtype=dtype)
+    em = np.zeros((num_parts, el), dtype=dtype)
+    for s, (comb, rp, eap) in enumerate(parts):
+        k = len(comb)
+        sc[s, :k], rl[s, :k], ea[s, :k] = comb, rp, eap
+        em[s, :k] = 1.0
+    return sc, rl, ea, em
+
+
 def partition_graph_halo(
     *,
     senders: np.ndarray,
@@ -75,81 +150,137 @@ def partition_graph_halo(
     dtype=np.float32,
 ) -> HaloSpatialGraph:
     n = x.shape[0]
-    order = _morton_order(pos)
-    n_local = -(-n // num_parts)
-    new_of_old = np.full(n, -1, dtype=np.int64)
-    for p in range(num_parts):
-        chunk = order[p * n_local:(p + 1) * n_local]
-        new_of_old[chunk] = p * n_local + np.arange(len(chunk))
-
+    order, new_of_old, n_local = _assign_parts(pos, n, num_parts)
     s_new = new_of_old[senders]
     r_new = new_of_old[receivers]
     owner_s = s_new // n_local
     owner_r = r_new // n_local
 
-    # halo lists: for each (src p, dst s) the sorted unique p-local rows s
-    # reads; H = padded max over pairs
-    halo_lists = [[np.unique(
-        s_new[(owner_s == p) & (owner_r == s) & (owner_s != owner_r)]
-    ) - p * n_local for s in range(num_parts)] for p in range(num_parts)]
-    h_max = max((len(l) for row in halo_lists for l in row), default=0)
-    H = max(_round_up(max(h_max, 1), halo_pad_multiple), halo_pad_multiple)
+    send_idx, H, halo_slot = _halo_plan(
+        s_new, owner_s, owner_r, n_local, num_parts, halo_pad_multiple)
 
-    send_idx = np.zeros((num_parts, num_parts, H), dtype=np.int32)
-    slot_of = {}  # (src p, local row, dst s) -> halo slot in s's table
-    for p in range(num_parts):
-        for s in range(num_parts):
-            rows = halo_lists[p][s]
-            send_idx[p, s, : len(rows)] = rows
-            for k, row in enumerate(rows):
-                slot_of[(p, int(row), s)] = p * H + k
+    # combined sender index per edge: local row, or halo-table slot
+    comb_all = np.where(owner_s == owner_r,
+                        s_new - owner_r * n_local,
+                        n_local + halo_slot).astype(np.int32)
 
-    # per-shard edges (receiver-owned), combined sender indices
-    el = 1
-    per_part = []
+    # per-shard edges (receiver-owned), receiver-sorted
+    parts = []
     for s in range(num_parts):
         m = owner_r == s
-        sp, rp, eap, op = s_new[m], r_new[m], edge_attr[m], owner_s[m]
+        sp, rp = s_new[m], r_new[m]
         perm = sort_edges_by_receiver(sp, rp)
-        sp, rp, eap, op = sp[perm], rp[perm], eap[perm], op[perm]
-        comb = np.empty(len(sp), dtype=np.int32)
-        for i in range(len(sp)):
-            p = int(op[i])
-            if p == s:
-                comb[i] = int(sp[i]) - s * n_local
-            else:
-                comb[i] = n_local + slot_of[(p, int(sp[i]) - p * n_local, s)]
-        per_part.append((comb, rp - s * n_local, eap))
-        el = max(el, len(sp))
-    el = _round_up(el, edges_pad_multiple)
+        parts.append((comb_all[m][perm], (rp - s * n_local)[perm],
+                      edge_attr[m][perm]))
+    sc, rl, ea, em = _pack_edge_streams(
+        parts, num_parts, edge_attr.shape[1], edges_pad_multiple, dtype)
 
-    sc = np.zeros((num_parts, el), dtype=np.int32)
-    rl = np.zeros((num_parts, el), dtype=np.int32)
-    ea = np.zeros((num_parts, el, edge_attr.shape[1]), dtype=dtype)
-    em = np.zeros((num_parts, el), dtype=dtype)
-    for s, (comb, rp, eap) in enumerate(per_part):
-        k = len(comb)
-        sc[s, :k], rl[s, :k], ea[s, :k] = comb, rp, eap
-        em[s, :k] = 1.0
-
-    xs = np.zeros((num_parts, n_local, x.shape[1]), dtype=dtype)
-    ys = np.zeros((num_parts, n_local,
-                   y.shape[1] if y is not None else 1), dtype=dtype)
-    nm = np.zeros((num_parts, n_local), dtype=dtype)
-    for p in range(num_parts):
-        chunk = order[p * n_local:(p + 1) * n_local]
-        k = len(chunk)
-        xs[p, :k] = x[chunk]
-        if y is not None:
-            ys[p, :k] = y[chunk]
-        nm[p, :k] = 1.0
-
+    xs, ys, nm = _pack_nodes(order, n_local, num_parts, x, y, dtype)
     return HaloSpatialGraph(
         x=jnp.asarray(xs), edge_attr=jnp.asarray(ea),
         senders_combined=jnp.asarray(sc), receivers_local=jnp.asarray(rl),
         send_idx=jnp.asarray(send_idx),
         node_mask=jnp.asarray(nm), edge_mask=jnp.asarray(em),
         y=jnp.asarray(ys))
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class HaloSplitGraph:
+    """Spatially partitioned mesh with the edge stream SPLIT into interior
+    (both endpoints shard-local) and boundary (sender remote) streams.
+
+    The split is what lets the halo all_to_all hide under compute
+    (SURVEY.md:165,453-455 "overlapped with local neighborhood
+    aggregation"): interior edge/aggregation work depends only on local
+    tensors, so XLA's latency-hiding scheduler can issue the
+    collective-start before it and the collective-done after — with one
+    combined stream every edge gather depends on the halo table and the
+    chain is serial. Boundary edges are O(surface), interior O(volume), so
+    most of each layer's work overlaps the exchange.
+    """
+
+    x: jax.Array  # [P, Nl, Dn]
+    # interior stream (sender local)
+    edge_attr_int: jax.Array  # [P, Ei, De]
+    senders_int: jax.Array  # i32[P, Ei] local rows
+    receivers_int: jax.Array  # i32[P, Ei] local rows (sorted)
+    edge_mask_int: jax.Array  # f32[P, Ei]
+    # boundary stream (sender remote; senders index the [P*H] halo table)
+    edge_attr_bnd: jax.Array  # [P, Eb, De]
+    senders_bnd: jax.Array  # i32[P, Eb] halo-table rows
+    receivers_bnd: jax.Array  # i32[P, Eb] local rows (sorted)
+    edge_mask_bnd: jax.Array  # f32[P, Eb]
+    send_idx: jax.Array  # i32[P, P, H]
+    node_mask: jax.Array  # f32[P, Nl]
+    y: jax.Array  # [P, Nl, Dy]
+
+    @property
+    def num_parts(self) -> int:
+        return self.x.shape[0]
+
+    @property
+    def nodes_per_part(self) -> int:
+        return self.x.shape[1]
+
+    @property
+    def halo_size(self) -> int:
+        return self.send_idx.shape[2]
+
+
+def partition_graph_halo_split(
+    *,
+    senders: np.ndarray,
+    receivers: np.ndarray,
+    x: np.ndarray,
+    edge_attr: np.ndarray,
+    pos: np.ndarray,
+    y: Optional[np.ndarray],
+    num_parts: int,
+    edges_pad_multiple: int = 128,
+    halo_pad_multiple: int = 8,
+    dtype=np.float32,
+) -> HaloSplitGraph:
+    """partition_graph_halo with interior/boundary edge streams (see
+    HaloSplitGraph). Fully vectorized (no per-edge Python loops)."""
+    n = x.shape[0]
+    order, new_of_old, n_local = _assign_parts(pos, n, num_parts)
+    s_new = new_of_old[senders]
+    r_new = new_of_old[receivers]
+    owner_s = s_new // n_local
+    owner_r = r_new // n_local
+
+    send_idx, H, halo_slot = _halo_plan(
+        s_new, owner_s, owner_r, n_local, num_parts, halo_pad_multiple)
+
+    interior = owner_s == owner_r
+    parts_int, parts_bnd = [], []
+    for s in range(num_parts):
+        mi = (owner_r == s) & interior
+        sp, rp = s_new[mi] - s * n_local, r_new[mi] - s * n_local
+        perm = sort_edges_by_receiver(sp, rp)
+        parts_int.append((sp[perm].astype(np.int32), rp[perm],
+                          edge_attr[mi][perm]))
+        mb = (owner_r == s) & ~interior
+        hs, rb = halo_slot[mb], r_new[mb] - s * n_local
+        perm = sort_edges_by_receiver(hs, rb)
+        parts_bnd.append((hs[perm].astype(np.int32), rb[perm],
+                          edge_attr[mb][perm]))
+    de = edge_attr.shape[1]
+    si, ri, eai, emi = _pack_edge_streams(
+        parts_int, num_parts, de, edges_pad_multiple, dtype)
+    sb, rb, eab, emb = _pack_edge_streams(
+        parts_bnd, num_parts, de, halo_pad_multiple, dtype)
+
+    xs, ys, nm = _pack_nodes(order, n_local, num_parts, x, y, dtype)
+    return HaloSplitGraph(
+        x=jnp.asarray(xs),
+        edge_attr_int=jnp.asarray(eai), senders_int=jnp.asarray(si),
+        receivers_int=jnp.asarray(ri), edge_mask_int=jnp.asarray(emi),
+        edge_attr_bnd=jnp.asarray(eab), senders_bnd=jnp.asarray(sb),
+        receivers_bnd=jnp.asarray(rb), edge_mask_bnd=jnp.asarray(emb),
+        send_idx=jnp.asarray(send_idx),
+        node_mask=jnp.asarray(nm), y=jnp.asarray(ys))
 
 
 def _exchange(values: jax.Array, send_idx_local: jax.Array,
@@ -218,6 +349,125 @@ def halo_mgn_forward(params, cfg, sg: HaloSpatialGraph, *,
         body = jax.checkpoint(body)
     (x, e), _ = jax.lax.scan(body, (x, e), params["layers"])
     return M.mlp_apply(params["decoder"], x, activation=cfg.activation)
+
+
+def _halo_split_layer(layer_params, cfg: B.MGNLayerConfig, x, e_int, e_bnd,
+                      sg: HaloSplitGraph, axis):
+    """One MGN layer with the halo all_to_all overlapped with interior
+    compute: the exchange is issued FIRST and only the (small) boundary
+    edge chain depends on it — everything between the collective-start and
+    the boundary gather is schedulable under the collective."""
+    n_local = x.shape[0]
+    if cfg.do_concat_trick:
+        p = layer_params["edge"]
+        s_proj = x @ p["w_s"]
+        halo = _exchange(s_proj, sg.send_idx, axis)  # [P*H, h], issued early
+        d_proj = x @ p["w_d"] + p["b"]
+        # interior chain — independent of the exchange
+        h0_i = (e_int @ p["w_e"]
+                + s_proj.at[sg.senders_int].get(mode="promise_in_bounds")
+                + d_proj.at[sg.receivers_int].get(mode="promise_in_bounds"))
+        de_i = B.edge_block_sum_post(p, h0_i, cfg)
+        # boundary chain — consumes the halo table
+        h0_b = (e_bnd @ p["w_e"]
+                + halo.at[sg.senders_bnd].get(mode="promise_in_bounds")
+                + d_proj.at[sg.receivers_bnd].get(mode="promise_in_bounds"))
+        de_b = B.edge_block_sum_post(p, h0_b, cfg)
+    else:
+        halo = _exchange(x, sg.send_idx, axis)
+        xs_i = x.at[sg.senders_int].get(mode="promise_in_bounds")
+        xd_i = x.at[sg.receivers_int].get(mode="promise_in_bounds")
+        de_i = M.mlp_apply(
+            layer_params["edge"],
+            jnp.concatenate([e_int, xs_i, xd_i], axis=-1),
+            activation=cfg.activation)
+        xs_b = halo.at[sg.senders_bnd].get(mode="promise_in_bounds")
+        xd_b = x.at[sg.receivers_bnd].get(mode="promise_in_bounds")
+        de_b = M.mlp_apply(
+            layer_params["edge"],
+            jnp.concatenate([e_bnd, xs_b, xd_b], axis=-1),
+            activation=cfg.activation)
+    e_int = e_int + de_i
+    e_bnd = e_bnd + de_b
+
+    agg = (jax.ops.segment_sum(e_int * sg.edge_mask_int[:, None],
+                               sg.receivers_int, num_segments=n_local,
+                               indices_are_sorted=True)
+           + jax.ops.segment_sum(e_bnd * sg.edge_mask_bnd[:, None],
+                                 sg.receivers_bnd, num_segments=n_local,
+                                 indices_are_sorted=True))
+    if cfg.aggregation == "mean":
+        deg = (jax.ops.segment_sum(sg.edge_mask_int, sg.receivers_int,
+                                   num_segments=n_local,
+                                   indices_are_sorted=True)
+               + jax.ops.segment_sum(sg.edge_mask_bnd, sg.receivers_bnd,
+                                     num_segments=n_local,
+                                     indices_are_sorted=True))
+        agg = agg / jnp.maximum(deg, 1.0)[:, None]
+    elif cfg.aggregation != "add":
+        raise ValueError(f"Unsupported aggregation method: {cfg.aggregation}")
+    x = x + B.node_block_post(layer_params["node"], cfg, x, agg)
+    return x, e_int, e_bnd
+
+
+def halo_split_mgn_forward(params, cfg, sg: HaloSplitGraph, *,
+                           axis: str = "graph") -> jax.Array:
+    """Per-shard MGN forward with the overlapped (split-stream) halo."""
+    x = M.mlp_apply(params["node_encoder"], sg.x, activation=cfg.activation)
+    e_int = M.mlp_apply(params["edge_encoder"], sg.edge_attr_int,
+                        activation=cfg.activation)
+    e_bnd = M.mlp_apply(params["edge_encoder"], sg.edge_attr_bnd,
+                        activation=cfg.activation)
+    layer_cfg = cfg.layer_cfg
+
+    def body(carry, layer_params):
+        x, e_int, e_bnd = carry
+        x, e_int, e_bnd = _halo_split_layer(
+            layer_params, layer_cfg, x, e_int, e_bnd, sg, axis)
+        return (x, e_int, e_bnd), None
+
+    if getattr(cfg, "remat", True):
+        body = jax.checkpoint(body)
+    (x, _, _), _ = jax.lax.scan(body, (x, e_int, e_bnd), params["layers"])
+    return M.mlp_apply(params["decoder"], x, activation=cfg.activation)
+
+
+def make_halo_split_forward(model_cfg, mesh: Mesh, *, axis: str = "graph"):
+    def per_shard(params, sg):
+        sg = jax.tree.map(lambda a: a[0], sg)
+        return halo_split_mgn_forward(params, model_cfg, sg, axis=axis)[None]
+
+    fwd = shard_map(per_shard, mesh=mesh,
+                    in_specs=(P(), P(axis)), out_specs=P(axis),
+                    check_vma=False)
+    return jax.jit(fwd)
+
+
+def make_halo_split_train_step(model_cfg, optimizer, mesh: Mesh,
+                               *, axis: str = "graph"):
+    import optax
+
+    def per_shard(params, opt_state, sg):
+        sg_l = jax.tree.map(lambda a: a[0], sg)
+
+        def loss_fn(p):
+            pred = halo_split_mgn_forward(p, model_cfg, sg_l, axis=axis)
+            m = sg_l.node_mask[:, None]
+            se = jax.lax.psum(jnp.sum(jnp.square(pred - sg_l.y) * m), axis)
+            cnt = jax.lax.psum(jnp.sum(m) * sg_l.y.shape[-1], axis)
+            return se / cnt
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        grads = jax.lax.psum(grads, axis)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    step = shard_map(per_shard, mesh=mesh,
+                     in_specs=(P(), P(), P(axis)),
+                     out_specs=(P(), P(), P()),
+                     check_vma=False)
+    return jax.jit(step, donate_argnums=(0, 1))
 
 
 def make_halo_forward(model_cfg, mesh: Mesh, *, axis: str = "graph"):

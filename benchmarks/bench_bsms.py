@@ -69,7 +69,9 @@ def main():
     ITERS = int(os.environ.get("BENCH_ITERS", 16))
     dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
 
-    cfg = BSMSConfig(
+    import dataclasses as dc
+
+    base_cfg = BSMSConfig(
         input_node_dim=6, input_edge_dim=3, output_node_dim=4,
         processor_size=15, hidden_dim_processor=H_DIM,
         hidden_dim_node_encoder=H_DIM, hidden_dim_edge_encoder=H_DIM,
@@ -85,11 +87,11 @@ def main():
         remat=(n_nodes > 262144
                if os.environ.get("BENCH_REMAT", "auto") == "auto"
                else os.environ.get("BENCH_REMAT") == "1"))
-    params = cfg.init(jax.random.PRNGKey(0))
+    params = base_cfg.init(jax.random.PRNGKey(0))
     optimizer = make_optimizer(1e-3)
     opt_state = optimizer.init(params)
 
-    def make_step(levels):
+    def make_step(cfg, levels):
         @jax.jit
         def train_k(params, opt_state, graph):
             def body(carry, _):
@@ -110,11 +112,15 @@ def main():
         return train_k
 
     with ops.use_backend("pallas"):
-        for name, aligned in (("fine-only alignment (coarse on XLA)", False),
-                              ("fully aligned hierarchy", True)):
+        for name, aligned, transfer in (
+                ("fine-only alignment (coarse on XLA)", False, "mean"),
+                ("fully aligned hierarchy", True, "mean"),
+                ("fully aligned + WeightedEdgeConv transfer", True,
+                 "weighted")):
             log(f"--- {name} ---")
             levels = build_levels(mesh, graph, amap, aligned=aligned)
-            step = make_step(levels)
+            cfg = dc.replace(base_cfg, transfer=transfer)
+            step = make_step(cfg, levels)
             t = time_scan_fn(step, (params, opt_state, graph), rtt,
                              iters=ITERS)
             log(f"{name}: {t*1e3:.2f} ms/step "

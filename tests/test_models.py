@@ -241,48 +241,142 @@ def test_registry_builds_all():
         assert params is not None
 
 
-def test_bsms_weighted_transfer(rng):
-    """Weighted transfer: equals mean pooling when all edge lengths are
-    equal (ring mesh), and runs end-to-end via the Loader hierarchy path."""
-    from aero_gnn_tpu.data.dataset import MeshSample, compute_features
-    from aero_gnn_tpu.data.batching import Loader
-    import dataclasses as dc
+class TestWeightedEdgeConv:
+    """transfer="weighted" — the canonical BSMS-GNN WeightedEdgeConv
+    (conv over fine edges with geometric masses + representative selection
+    down, the exact adjoint up). Ref: /root/reference/models/bsms_mgn.py:
+    265-288 is the scatter_mean simplification this generalizes."""
 
-    n = 32
-    th = np.linspace(0, 2 * np.pi, n, endpoint=False)
-    pos = np.stack([np.cos(th), np.sin(th)], 1).astype(np.float32)
-    idx = np.arange(n)
-    s = MeshSample(pos=pos, normals=pos.copy(),
-                   senders=np.concatenate([idx, (idx + 1) % n]),
-                   receivers=np.concatenate([(idx + 1) % n, idx]),
-                   y=rng.standard_normal((n, 4)).astype(np.float32),
-                   meta={"mach": 0.5, "alpha": 0.0, "airfoil": "ring"})
-    compute_features([s], ["mach", "alpha"])
+    def _sample(self, rng, n=32, warp=False):
+        from aero_gnn_tpu.data.dataset import MeshSample, compute_features
 
-    cfg_mean = BSMSConfig(**tiny_mgn(do_concat_trick=True), num_scales=2,
-                          layers_per_scale=1, transfer="mean")
-    cfg_w = dc.replace(cfg_mean, transfer="weighted")
-    params = cfg_mean.init(jax.random.PRNGKey(0))
+        th = np.linspace(0, 2 * np.pi, n, endpoint=False)
+        pos = np.stack([np.cos(th), np.sin(th)], 1).astype(np.float32)
+        if warp:
+            pos = pos * np.linspace(1, 3, n)[:, None].astype(np.float32)
+        idx = np.arange(n)
+        s = MeshSample(pos=pos, normals=pos.copy(),
+                       senders=np.concatenate([idx, (idx + 1) % n]),
+                       receivers=np.concatenate([(idx + 1) % n, idx]),
+                       y=rng.standard_normal((n, 4)).astype(np.float32),
+                       meta={"mach": 0.5, "alpha": 0.0, "airfoil": "ring"})
+        compute_features([s], ["mach", "alpha"])
+        return s
 
-    loader = Loader([s], 1, num_scales=2)
-    gb, aux = next(iter(loader))
-    out_mean = np.asarray(cfg_mean.apply(params, gb,
-                                         hierarchy=aux["hierarchy"]))
-    out_w = np.asarray(cfg_w.apply(params, gb, hierarchy=aux["hierarchy"]))
-    # ring edges all have identical length -> weights uniform -> identical
-    np.testing.assert_allclose(out_w[:n], out_mean[:n], rtol=1e-5, atol=1e-5)
+    def _level(self, rng, mode="bistride", warp=True, n=32):
+        s = self._sample(rng, n=n, warp=warp)
+        levels = build_hierarchy(
+            senders=s.senders.astype(np.int64),
+            receivers=s.receivers.astype(np.int64),
+            node_graph=np.zeros(n, np.int64), num_nodes=n,
+            pos=s.pos.astype(np.float64), num_scales=2, mode=mode)
+        return s, levels[0]
 
-    # non-uniform mesh: weighted must differ from mean
-    s2 = MeshSample(pos=pos * np.linspace(1, 3, n)[:, None],
-                    normals=pos.copy(),
-                    senders=s.senders.copy(), receivers=s.receivers.copy(),
-                    y=s.y.copy(), meta=dict(s.meta))
-    compute_features([s2], ["mach", "alpha"])
-    loader2 = Loader([s2], 1, num_scales=2)
-    gb2, aux2 = next(iter(loader2))
-    o_m = np.asarray(cfg_mean.apply(params, gb2, hierarchy=aux2["hierarchy"]))
-    o_w = np.asarray(cfg_w.apply(params, gb2, hierarchy=aux2["hierarchy"]))
-    assert np.abs(o_m[:n] - o_w[:n]).max() > 1e-6
+    def test_conv_weights_normalized_and_geometric(self, rng):
+        """Rows of the conv operator sum to exactly 1 on real fine nodes,
+        and a warped mesh yields genuinely non-uniform weights."""
+        s, lv = self._level(rng)
+        n = s.num_nodes
+        _, rc = _fine_streams(s, lv)
+        rowsum = np.asarray(lv.conv_self) + np.asarray(
+            jax.ops.segment_sum(lv.conv_edge, jnp.asarray(rc),
+                                num_segments=lv.fine_to_coarse.shape[0]))
+        np.testing.assert_allclose(rowsum[:n], 1.0, rtol=1e-6)
+        assert np.asarray(lv.conv_edge)[:2 * n].std() > 1e-4
+        assert np.asarray(lv.edge_weights)[:2 * n].std() > 1e-4
+
+    def test_rep_mask_selects_one_per_coarse_node(self, rng):
+        s, lv = self._level(rng)
+        reps = np.asarray(jax.ops.segment_sum(
+            lv.rep_mask, lv.fine_to_coarse,
+            num_segments=lv.num_coarse_nodes_pad))
+        nc = int(lv.n_node)
+        np.testing.assert_allclose(reps[:nc], 1.0)
+        np.testing.assert_allclose(reps[nc:], 0.0)
+        # bistride: the representative IS the kept fine node
+        rep_rows = np.nonzero(np.asarray(lv.rep_mask))[0]
+        assert len(rep_rows) == nc
+
+    def test_down_preserves_constants(self, rng):
+        from aero_gnn_tpu.models.bsms import wec_down
+
+        s, lv = self._level(rng)
+        n = s.num_nodes
+        mask = np.zeros(lv.fine_to_coarse.shape[0], np.float32)
+        mask[:n] = 1.0
+        x = jnp.asarray(3.25 * mask[:, None] * np.ones((len(mask), 5),
+                                                       np.float32))
+        sd, rc = _fine_streams(s, lv)
+        out = np.asarray(wec_down(lv, x, jnp.asarray(sd), jnp.asarray(rc)))
+        nc = int(lv.n_node)
+        np.testing.assert_allclose(out[:nc], 3.25, rtol=1e-5)
+
+    def test_up_is_exact_adjoint_of_down(self, rng):
+        from aero_gnn_tpu.models.bsms import wec_down, wec_up
+
+        s, lv = self._level(rng)
+        n, nc = s.num_nodes, int(lv.n_node)
+        nf_pad = lv.fine_to_coarse.shape[0]
+        x = np.zeros((nf_pad, 3), np.float32)
+        x[:n] = rng.standard_normal((n, 3))
+        y = np.zeros((lv.num_coarse_nodes_pad, 3), np.float32)
+        y[:nc] = rng.standard_normal((nc, 3))
+        sd_np, rc_np = _fine_streams(s, lv)
+        sd, rc = jnp.asarray(sd_np), jnp.asarray(rc_np)
+        down = np.asarray(wec_down(lv, jnp.asarray(x), sd, rc))
+        yf = jnp.asarray(y).at[lv.fine_to_coarse].get(
+            mode="promise_in_bounds")
+        up = np.asarray(wec_up(lv, yf, sd, rc))
+        np.testing.assert_allclose(float((down * y).sum()),
+                                   float((up * x).sum()), rtol=1e-4)
+
+    def test_weighted_differs_from_mean_and_trains(self, rng):
+        """End-to-end through the Loader: bistride+weighted differs from
+        mean, is padding-invariant in value, and yields finite nonzero
+        grads through the custom-VJP transfer ops."""
+        from aero_gnn_tpu.data.batching import Loader
+        import dataclasses as dc
+
+        s = self._sample(rng, warp=True)
+        n = s.num_nodes
+        cfg_mean = BSMSConfig(**tiny_mgn(do_concat_trick=True), num_scales=2,
+                              layers_per_scale=1, hierarchy_mode="bistride",
+                              transfer="mean")
+        cfg_w = dc.replace(cfg_mean, transfer="weighted")
+        params = cfg_mean.init(jax.random.PRNGKey(0))
+        loader = Loader([s], 1, num_scales=2, hierarchy_mode="bistride")
+        gb, aux = next(iter(loader))
+        o_m = np.asarray(cfg_mean.apply(params, gb,
+                                        hierarchy=aux["hierarchy"]))
+        o_w = np.asarray(cfg_w.apply(params, gb, hierarchy=aux["hierarchy"]))
+        assert np.isfinite(o_w).all()
+        assert np.abs(o_m[:n] - o_w[:n]).max() > 1e-6
+
+        def loss(p):
+            out = cfg_w.apply(p, gb, hierarchy=aux["hierarchy"])
+            return ((out - gb.y) ** 2 * gb.node_mask[:, None]).sum()
+
+        grads = jax.grad(loss)(params)
+        leaves = jax.tree.leaves(grads)
+        assert all(np.isfinite(np.asarray(g)).all() for g in leaves)
+        assert any(float(jnp.abs(g).max()) > 0 for g in leaves)
+
+
+def _fine_streams(s, lv):
+    """Receiver-sorted FINE edge streams padded to the level's edge rows
+    (GraphBatch convention: pad edges point at the last pad node, which
+    keeps the receiver stream sorted; conv_edge is zero there)."""
+    from aero_gnn_tpu.graph.padded import sort_edges_by_receiver
+
+    perm = sort_edges_by_receiver(s.senders.astype(np.int64),
+                                  s.receivers.astype(np.int64))
+    nf_pad = lv.fine_to_coarse.shape[0]
+    ef_pad = lv.edge_to_coarse.shape[0]
+    sd = np.full(ef_pad, nf_pad - 1, np.int32)
+    rc = np.full(ef_pad, nf_pad - 1, np.int32)
+    sd[:len(perm)] = s.senders.astype(np.int64)[perm]
+    rc[:len(perm)] = s.receivers.astype(np.int64)[perm]
+    return sd, rc
 
 
 def test_mgn_separate_decoders(rng):

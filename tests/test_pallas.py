@@ -371,6 +371,17 @@ def test_align_hierarchy_balanced_three_scales_matches_plain():
         fill_b = int(bal[s_idx].n_edge) / bal[s_idx].num_coarse_edges_pad
         assert fill_b >= fill_u
 
+    # transfer="weighted" (WeightedEdgeConv): the conv/rep artifacts must
+    # survive the cross-level re-indexing (conv_edge follows prev_src,
+    # rep/conv_self follow prev_node_map) bitwise-correctly too
+    import dataclasses as _dc
+    cfg_w = _dc.replace(cfg, transfer="weighted")
+    ref_w = np.asarray(cfg_w.apply(params, g_plain, hierarchy=tuple(lv_plain)))
+    assert np.abs(ref_w[nm] - ref[nm]).max() > 1e-6  # weighted != mean
+    for al in (unbal, bal):
+        out_w = np.asarray(cfg_w.apply(params, g_al, hierarchy=tuple(al)))
+        np.testing.assert_allclose(out_w[nm], ref_w[nm], rtol=2e-5, atol=2e-5)
+
 
 def test_bsms_aligned_loader_matches_plain_and_pallas():
     """BSMS over an aligned loader (hierarchy level-0 re-indexed via

@@ -186,6 +186,88 @@ class TestHaloExchange:
             got[chunk] = out[p, :len(chunk)]
         np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
 
+    def test_vectorized_halo_plan_matches_bruteforce(self):
+        """The vectorized halo plan (parallel.halo._halo_plan) must agree
+        with a direct dict-based construction (the pre-vectorization
+        builder's semantics: per (src, dst) pair, sorted unique local rows,
+        slots assigned in that order)."""
+        from aero_gnn_tpu.parallel import halo as HL
+        rng = np.random.default_rng(3)
+        P_, n_local = 4, 32
+        n = P_ * n_local
+        s_new = rng.integers(0, n, 500)
+        r_new = rng.integers(0, n, 500)
+        owner_s, owner_r = s_new // n_local, r_new // n_local
+        send_idx, H, halo_slot = HL._halo_plan(
+            s_new, owner_s, owner_r, n_local, P_, halo_pad_multiple=8)
+
+        slot_of = {}
+        ref_idx = np.zeros((P_, P_, H), np.int32)
+        for p in range(P_):
+            for s in range(P_):
+                rows = np.unique(s_new[(owner_s == p) & (owner_r == s)
+                                       & (owner_s != owner_r)]) - p * n_local
+                ref_idx[p, s, :len(rows)] = rows
+                for k, row in enumerate(rows):
+                    slot_of[(p, int(row), s)] = p * H + k
+        np.testing.assert_array_equal(send_idx, ref_idx)
+        b = owner_s != owner_r
+        ref_slot = np.array([
+            slot_of[(int(p), int(sv) - int(p) * n_local, int(s))]
+            for p, sv, s in zip(owner_s[b], s_new[b], owner_r[b])])
+        np.testing.assert_array_equal(halo_slot[b], ref_slot)
+
+    @pytest.mark.parametrize("concat_trick", [True, False])
+    def test_halo_split_forward_equals_single_device(self, concat_trick):
+        """Overlapped (interior/boundary split) halo == single-device MGN."""
+        from aero_gnn_tpu.parallel import halo as HL
+        cfg = MGNConfig(**TINY, do_concat_trick=concat_trick)
+        params = cfg.init(jax.random.PRNGKey(13))
+        s = make_random_mesh_sample(n_nodes=300, seed=4)
+        D.compute_features([s], ["mach", "alpha"])
+
+        gb = padded.build_graph_batch(
+            senders=s.senders, receivers=s.receivers, x=s.x,
+            edge_attr=s.edge_attr, pos=s.pos, y=s.y)
+        ref = np.asarray(cfg.apply(params, gb))[:s.num_nodes]
+
+        mesh = make_mesh(data=1, graph=8)
+        sg = HL.partition_graph_halo_split(
+            senders=s.senders, receivers=s.receivers, x=s.x,
+            edge_attr=s.edge_attr, pos=s.pos, y=s.y, num_parts=8)
+        # boundary stream is much smaller than interior (surface/volume)
+        assert sg.edge_attr_bnd.shape[1] <= sg.edge_attr_int.shape[1]
+        fwd = HL.make_halo_split_forward(cfg, mesh)
+        out = np.asarray(fwd(params, sg))
+
+        order = SP._morton_order(s.pos)
+        n_local = sg.nodes_per_part
+        got = np.zeros_like(ref)
+        for p in range(8):
+            chunk = order[p * n_local:(p + 1) * n_local]
+            got[chunk] = out[p, :len(chunk)]
+        np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+    def test_halo_split_train_step_decreases_loss(self):
+        from aero_gnn_tpu.parallel import halo as HL
+        cfg = MGNConfig(**TINY, do_concat_trick=True)
+        params = cfg.init(jax.random.PRNGKey(14))
+        opt = make_optimizer(1e-3)
+        ost = opt.init(params)
+        s = make_random_mesh_sample(n_nodes=256, seed=5)
+        D.compute_features([s], ["mach", "alpha"])
+        mesh = make_mesh(data=1, graph=8)
+        sg = HL.partition_graph_halo_split(
+            senders=s.senders, receivers=s.receivers, x=s.x,
+            edge_attr=s.edge_attr, pos=s.pos, y=s.y, num_parts=8)
+        step = HL.make_halo_split_train_step(cfg, opt, mesh)
+        losses = []
+        for _ in range(10):
+            params, ost, loss = step(params, ost, sg)
+            losses.append(float(loss))
+        assert losses[-1] < losses[0]
+        assert np.isfinite(losses).all()
+
     def test_halo_train_step_decreases_loss(self):
         from aero_gnn_tpu.parallel import halo as HL
         cfg = MGNConfig(**TINY, do_concat_trick=True)
@@ -205,6 +287,41 @@ class TestHaloExchange:
             losses.append(float(loss))
         assert losses[-1] < losses[0]
         assert np.isfinite(losses).all()
+
+
+class TestDCNMesh:
+    def test_single_slice_matches_make_mesh(self):
+        from aero_gnn_tpu.parallel.mesh import make_mesh, make_mesh_dcn
+        m1 = make_mesh(data=2, graph=4)
+        m2 = make_mesh_dcn(data=2, graph=4)
+        assert m2.devices.shape == (2, 4)
+        assert [d.id for d in m2.devices.flat] == \
+            [d.id for d in m1.devices.flat]
+
+    def test_multislice_rows_stay_within_a_slice(self):
+        """graph-axis groups (per-layer halo collectives) must never
+        straddle DCN: with fake 2-slice devices, each mesh row's devices
+        share one slice_index and the data axis spans slices."""
+        import dataclasses as dc
+        from aero_gnn_tpu.parallel.mesh import make_mesh_dcn
+
+        @dc.dataclass(frozen=True)
+        class FakeDev:
+            id: int
+            slice_index: int
+
+        devs = [FakeDev(id=i, slice_index=i // 4) for i in range(8)]
+        # interleave to prove ordering is by (slice, id), not input order
+        shuffled = [devs[i] for i in (3, 7, 0, 4, 1, 5, 2, 6)]
+        mesh_arr = make_mesh_dcn(data=4, graph=2, devices=shuffled).devices
+        assert mesh_arr.shape == (4, 2)
+        for row in mesh_arr:
+            assert len({d.slice_index for d in row}) == 1
+        assert {row[0].slice_index for row in mesh_arr} == {0, 1}
+
+        # graph group straddling DCN must be rejected
+        with pytest.raises(ValueError, match="straddle"):
+            make_mesh_dcn(data=1, graph=8, devices=shuffled)
 
 
 class TestSpatialModelVariants:
@@ -302,3 +419,27 @@ class TestBSMSSpatial:
             chunk = order[p * n_local:(p + 1) * n_local]
             got[chunk] = out[p, :len(chunk)]
         np.testing.assert_allclose(got, ref, rtol=3e-4, atol=3e-4)
+
+    def test_bsms_spatial_train_step_decreases_loss(self):
+        from aero_gnn_tpu.models.bsms import BSMSConfig
+        from aero_gnn_tpu.parallel import bsms_spatial as BS
+
+        cfg = BSMSConfig(**TINY, do_concat_trick=True, num_scales=3,
+                         layers_per_scale=1, hierarchy_mode="bistride")
+        params = cfg.init(jax.random.PRNGKey(33))
+        opt = make_optimizer(1e-3)
+        ost = opt.init(params)
+        s = make_random_mesh_sample(n_nodes=256, seed=11)
+        D.compute_features([s], ["mach", "alpha"])
+        mesh = make_mesh(data=1, graph=8)
+        bg = BS.partition_bsms(
+            senders=s.senders, receivers=s.receivers, x=s.x,
+            edge_attr=s.edge_attr, pos=s.pos, y=s.y, num_parts=8,
+            num_scales=3, mode="bistride")
+        step = BS.make_bsms_spatial_train_step(cfg, opt, mesh)
+        losses = []
+        for _ in range(8):
+            params, ost, loss = step(params, ost, bg)
+            losses.append(float(loss))
+        assert np.isfinite(losses).all()
+        assert losses[-1] < losses[0]
