@@ -55,6 +55,14 @@ class MGNConfig:
     # activations+weights nearly double throughput; params stay fp32 (master
     # copy), LayerNorm statistics stay fp32, loss/decoder output are fp32.
     compute_dtype: str = "float32"
+    # Unroll the processor loop instead of lax.scan. scan keeps compile time
+    # flat but stacks every layer's backward residuals into [L, E, h]
+    # buffers (dynamic_update_slice each iteration) and slices them back out
+    # in the transpose — a profiled ~35 ms/step of pure data movement at 15
+    # layers x 65k nodes (benchmarks/profile_step.py). Unrolling emits each
+    # layer separately: residuals stay as distinct buffers, no copies, at
+    # ~L x the processor's compile time.
+    unroll: bool = False
     # One decoder MLP per output field instead of a single joint decoder —
     # the "separated decoder" experiment visible in the reference
     # (/root/reference/models/mgn.py:77-99, commented out; the deleted
@@ -134,6 +142,7 @@ class MGNConfig:
             remat=self.remat,
             remat_policy=self.remat_policy,
             aligned=graph.edges_aligned,
+            unroll=self.unroll,
         )
         if self.separate_decoders:
             out = jnp.concatenate(
@@ -150,7 +159,8 @@ def run_processor(stacked_layers, layer_cfg: B.MGNLayerConfig,
                   senders: jax.Array, receivers: jax.Array,
                   edge_mask: jax.Array, *, sender_perm=None,
                   senders_sorted=None, remat: bool = True,
-                  remat_policy: str = "save_fused", aligned: bool = False):
+                  remat_policy: str = "save_fused", aligned: bool = False,
+                  unroll: bool = False):
     """Scan the residual MP layer over stacked per-layer params.
 
     ``remat_policy`` (only with ``remat=True``):
@@ -180,6 +190,13 @@ def run_processor(stacked_layers, layer_cfg: B.MGNLayerConfig,
             body = jax.checkpoint(body, policy=policy)
         else:
             body = jax.checkpoint(body)
+    if unroll:
+        num_layers = jax.tree.leaves(stacked_layers)[0].shape[0]
+        carry = (x, e)
+        for i in range(num_layers):
+            layer_i = jax.tree.map(lambda a: a[i], stacked_layers)
+            carry, _ = body(carry, layer_i)
+        return carry
     (x, e), _ = jax.lax.scan(body, (x, e), stacked_layers)
     return x, e
 

@@ -47,7 +47,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from aero_gnn_tpu.graph.padded import ALIGN_EDGE_TILE, ALIGN_NODE_BLOCK
 from aero_gnn_tpu.nn.mlp import LN_EPS
-from aero_gnn_tpu.ops.pallas_segment import derive_tiles
+from aero_gnn_tpu.ops.pallas_segment import (
+    build_onehot, derive_tiles, onehot_premask_enabled, premask_receivers)
 
 NB = ALIGN_NODE_BLOCK
 ET = ALIGN_EDGE_TILE
@@ -139,16 +140,35 @@ def _ln_bwd(ct32, xn, inv, scale32):
     return d_d, dscale, dbias
 
 
-def _make_kernel(n_hidden: int, activation: str):
+def save_acts_enabled() -> bool:
+    """AERO_GNN_SAVE_ACTS=1: the fused forward additionally writes the
+    post-ReLU activations ``zs``, the pre-LayerNorm output ``d`` (exact —
+    already bf16-rounded in forward) and the f32 LN stats ``mu``/``inv`` to
+    HBM, and the fused backward consumes them instead of recomputing the
+    whole forward chain per tile. Trades ~3 extra [E, h] streams each way
+    (DMA, overlappable) for ~5 fewer dependent MXU ops + their VPU
+    interleave in the serial backward chain. Default off pending A/B."""
+    import os
+
+    return os.environ.get("AERO_GNN_SAVE_ACTS", "0") == "1"
+
+
+def _make_kernel(n_hidden: int, activation: str, premask: bool,
+                 save_acts: bool = False):
     if activation != "relu":
         raise ValueError("fused kernel supports relu (the reference "
                          "hardcodes ReLU in EdgeBlockSum)")
 
     def kernel(tile_block_ref, tile_first_ref,
-               recv_ref, e_ref, sg_ref, dproj_ref, mask_ref,
-               w_e_ref, ws_ref, bs_ref, w_out_ref, b_out_ref,
-               ln_scale_ref, ln_bias_ref,
-               e_out_ref, agg_ref):
+               recv_ref, e_ref, sg_ref, dproj_ref, *rest):
+        if premask:
+            mask_ref = None
+        else:
+            mask_ref, rest = rest[0], rest[1:]
+        (w_e_ref, ws_ref, bs_ref, w_out_ref, b_out_ref,
+         ln_scale_ref, ln_bias_ref, e_out_ref, agg_ref) = rest[:9]
+        if save_acts:
+            zs_out_ref, d_out_ref, mu_out_ref, inv_out_ref = rest[9:]
         t = pl.program_id(0)
 
         @pl.when(tile_first_ref[t] == 1)
@@ -159,10 +179,9 @@ def _make_kernel(n_hidden: int, activation: str):
 
         # shared masked one-hot: rows=edges, cols=local node ids
         base = tile_block_ref[t] * NB
-        local = recv_ref[:] - base
-        cols = jax.lax.broadcasted_iota(jnp.int32, (ET, NB), 1)
-        eq = jnp.where(local == cols, 1.0, 0.0)
-        onehot = (eq * mask_ref[:].astype(jnp.float32)).astype(e.dtype)
+        onehot = build_onehot(
+            recv_ref[:], base, e.dtype,
+            None if mask_ref is None else mask_ref[:])
 
         # in-kernel receiver gather: [ET, NB] @ [NB, h]
         dg = jax.lax.dot_general(
@@ -175,12 +194,16 @@ def _make_kernel(n_hidden: int, activation: str):
             preferred_element_type=jnp.float32,
         ).astype(e.dtype) + sg_ref[:] + dg
         z = jnp.maximum(h0, 0)
+        if save_acts:
+            zs_out_ref[0] = z
         for i in range(n_hidden):
             z = jnp.maximum(
                 jax.lax.dot_general(
                     z, ws_ref[i], (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 ).astype(e.dtype) + bs_ref[i], 0)
+            if save_acts:
+                zs_out_ref[i + 1] = z
         de = jax.lax.dot_general(
             z, w_out_ref[:], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -189,7 +212,12 @@ def _make_kernel(n_hidden: int, activation: str):
         # LayerNorm with f32 statistics
         def32 = de.astype(jnp.float32)
         mu, var = _ln_stats(def32, def32.shape[-1])
-        ln = (def32 - mu) * jax.lax.rsqrt(var + LN_EPS)
+        inv = jax.lax.rsqrt(var + LN_EPS)
+        if save_acts:
+            d_out_ref[:] = de
+            mu_out_ref[:] = mu
+            inv_out_ref[:] = inv
+        ln = (def32 - mu) * inv
         ln = ln * ln_scale_ref[:].astype(jnp.float32) \
             + ln_bias_ref[:].astype(jnp.float32)
 
@@ -206,12 +234,17 @@ def _make_kernel(n_hidden: int, activation: str):
 
 
 def _fused_fwd(e, sg, d_proj, mask, receivers, w_e, ws, bs, w_out, b_out,
-               ln_scale, ln_bias, num_nodes: int, activation: str):
+               ln_scale, ln_bias, num_nodes: int, activation: str,
+               save_acts: bool = False):
     n_tiles = receivers.shape[0] // ET
     h = e.shape[1]
     n_hidden = ws.shape[0]
     tile_block, tile_first = derive_tiles(receivers)
-    recv2d = receivers.reshape(-1, 1)
+    premask = onehot_premask_enabled()
+    if premask:
+        recv2d = premask_receivers(receivers, mask).reshape(-1, 1)
+    else:
+        recv2d = receivers.reshape(-1, 1)
     mask2d = mask.reshape(-1, 1)
 
     def tile_spec():
@@ -227,6 +260,29 @@ def _fused_fwd(e, sg, d_proj, mask, receivers, w_e, ws, bs, w_out, b_out,
         return pl.BlockSpec(shape, lambda t, tb, tf: (0,) * nd,
                             memory_space=pltpu.VMEM)
 
+    mask_specs = [] if premask else [
+        pl.BlockSpec((ET, 1), lambda t, tb, tf: (t, 0),
+                     memory_space=pltpu.VMEM)]
+    mask_operands = [] if premask else [mask2d]
+    extra_out_specs = []
+    extra_out_shapes = []
+    if save_acts:
+        nh1 = n_hidden + 1
+        extra_out_specs = [
+            pl.BlockSpec((nh1, ET, h), lambda t, tb, tf: (0, t, 0),
+                         memory_space=pltpu.VMEM),  # zs
+            tile_spec(),                            # d (pre-LN, bf16 exact)
+            pl.BlockSpec((ET, 1), lambda t, tb, tf: (t, 0),
+                         memory_space=pltpu.VMEM),  # mu (f32)
+            pl.BlockSpec((ET, 1), lambda t, tb, tf: (t, 0),
+                         memory_space=pltpu.VMEM),  # inv (f32)
+        ]
+        extra_out_shapes = [
+            jax.ShapeDtypeStruct((nh1, e.shape[0], h), e.dtype),
+            jax.ShapeDtypeStruct(e.shape, e.dtype),
+            jax.ShapeDtypeStruct((e.shape[0], 1), jnp.float32),
+            jax.ShapeDtypeStruct((e.shape[0], 1), jnp.float32),
+        ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_tiles,),
@@ -236,8 +292,7 @@ def _fused_fwd(e, sg, d_proj, mask, receivers, w_e, ws, bs, w_out, b_out,
             tile_spec(),  # e
             tile_spec(),  # sg
             block_spec(),  # d_proj (node block)
-            pl.BlockSpec((ET, 1), lambda t, tb, tf: (t, 0),
-                         memory_space=pltpu.VMEM),  # mask
+            *mask_specs,  # mask (legacy mode only)
             const_spec((h, h)),  # w_e
             const_spec((max(n_hidden, 1), h, h)),  # ws
             const_spec((max(n_hidden, 1), 1, h)),  # bs
@@ -249,17 +304,19 @@ def _fused_fwd(e, sg, d_proj, mask, receivers, w_e, ws, bs, w_out, b_out,
         out_specs=(
             tile_spec(),   # e'
             block_spec(),  # agg
+            *extra_out_specs,
         ),
     )
     ws_in = ws if n_hidden else jnp.zeros((1, h, h), e.dtype)
     bs_in = (bs.reshape(n_hidden, 1, h) if n_hidden
              else jnp.zeros((1, 1, h), e.dtype))
     return pl.pallas_call(
-        _make_kernel(n_hidden, activation),
+        _make_kernel(n_hidden, activation, premask, save_acts),
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct(e.shape, e.dtype),
             jax.ShapeDtypeStruct((num_nodes, h), e.dtype),
+            *extra_out_shapes,
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * n_tiles * ET * h * h * (2 + n_hidden)
@@ -267,7 +324,7 @@ def _fused_fwd(e, sg, d_proj, mask, receivers, w_e, ws, bs, w_out, b_out,
             bytes_accessed=4 * e.size * e.dtype.itemsize,
             transcendentals=0,
         ),
-    )(tile_block, tile_first, recv2d, e, sg, d_proj, mask2d,
+    )(tile_block, tile_first, recv2d, e, sg, d_proj, *mask_operands,
       w_e, ws_in, bs_in, w_out, b_out.reshape(1, h),
       ln_scale.reshape(1, h), ln_bias.reshape(1, h))
 
@@ -310,17 +367,30 @@ def fused_edge_layer(e, sg, d_proj, mask, receivers, w_e, ws, bs, w_out,
 
 def _fel_fwd(e, sg, d_proj, mask, receivers, w_e, ws, bs, w_out, b_out,
              ln_scale, ln_bias, num_nodes, activation):
+    if save_acts_enabled():
+        e2, agg, zs, d, mu, inv = _fused_fwd(
+            e, sg, d_proj, mask, receivers, w_e, ws, bs, w_out, b_out,
+            ln_scale, ln_bias, num_nodes, activation, save_acts=True)
+        # sg / d_proj are NOT residuals here (the saved backward never
+        # touches them) — holding them would pin ~[E+N, h] per layer.
+        return (e2, agg), (e, None, None, mask, receivers, w_e, ws, bs,
+                           w_out, b_out, ln_scale, ln_bias, (zs, d, mu, inv))
     out = _fused_fwd(e, sg, d_proj, mask, receivers, w_e, ws, bs, w_out,
                      b_out, ln_scale, ln_bias, num_nodes, activation)
     return out, (e, sg, d_proj, mask, receivers, w_e, ws, bs, w_out, b_out,
-                 ln_scale, ln_bias)
+                 ln_scale, ln_bias, None)
 
 
 def _fel_bwd(num_nodes, activation, res, ct):
     (e, sg, d_proj, mask, receivers, w_e, ws, bs, w_out, b_out,
-     ln_scale, ln_bias) = res
+     ln_scale, ln_bias, saved) = res
     import os
 
+    if saved is not None:
+        return _fused_bwd_saved(e, mask, receivers, w_e, ws, w_out,
+                                ln_scale, saved, num_nodes, ct,
+                                bs_shape=bs, b_out_shape=b_out,
+                                ln_bias_shape=ln_bias)
     if os.environ.get("AERO_GNN_FUSED_BWD", "1") == "1":
         return _fused_bwd(e, sg, d_proj, mask, receivers, w_e, ws, bs,
                           w_out, b_out, ln_scale, ln_bias, num_nodes, ct)
@@ -343,14 +413,22 @@ fused_edge_layer.defvjp(_fel_fwd, _fel_bwd)
 # d_proj's gradient accumulates per node block (revisited like agg).
 # ---------------------------------------------------------------------------
 
-def _make_bwd_kernel(n_hidden: int):
+def _make_bwd_kernel(n_hidden: int, premask: bool):
     def kernel(tile_block_ref, tile_first_ref,
-               recv_ref, e_ref, sg_ref, dproj_ref, mask_ref,
-               w_e_ref, ws_ref, bs_ref, w_out_ref, b_out_ref,
-               ln_scale_ref, ln_bias_ref, ct_e_ref, ct_agg_ref,
-               de_out_ref, dsg_out_ref, ddproj_ref,
-               dwe_ref, dws_ref, dbs_ref, dwo_ref, dbo_ref,
-               dscale_ref, dbias_ref):
+               recv_ref, e_ref, sg_ref, dproj_ref, *rest):
+        if premask:
+            (w_e_ref, ws_ref, bs_ref, w_out_ref, b_out_ref,
+             ln_scale_ref, ln_bias_ref, ct_e_ref, ct_agg_ref,
+             de_out_ref, dsg_out_ref, ddproj_ref,
+             dwe_ref, dws_ref, dbs_ref, dwo_ref, dbo_ref,
+             dscale_ref, dbias_ref) = rest
+            mask_ref = None
+        else:
+            (mask_ref, w_e_ref, ws_ref, bs_ref, w_out_ref, b_out_ref,
+             ln_scale_ref, ln_bias_ref, ct_e_ref, ct_agg_ref,
+             de_out_ref, dsg_out_ref, ddproj_ref,
+             dwe_ref, dws_ref, dbs_ref, dwo_ref, dbo_ref,
+             dscale_ref, dbias_ref) = rest
         t = pl.program_id(0)
 
         @pl.when(t == 0)
@@ -378,10 +456,9 @@ def _make_bwd_kernel(n_hidden: int):
 
         # shared masked one-hot (same as forward)
         base = tile_block_ref[t] * NB
-        local = recv_ref[:] - base
-        cols = jax.lax.broadcasted_iota(jnp.int32, (ET, NB), 1)
-        eq = jnp.where(local == cols, 1.0, 0.0)
-        onehot = (eq * mask_ref[:].astype(jnp.float32)).astype(dt)
+        onehot = build_onehot(
+            recv_ref[:], base, dt,
+            None if mask_ref is None else mask_ref[:])
 
         # ---- recompute forward chain (activations stay in VMEM) ----
         dg = mm(onehot, dproj_ref[:]).astype(dt)
@@ -440,7 +517,11 @@ def _fused_bwd(e, sg, d_proj, mask, receivers, w_e, ws, bs, w_out, b_out,
     h = e.shape[1]
     n_hidden = ws.shape[0]
     tile_block, tile_first = derive_tiles(receivers)
-    recv2d = receivers.reshape(-1, 1)
+    premask = onehot_premask_enabled()
+    if premask:
+        recv2d = premask_receivers(receivers, mask).reshape(-1, 1)
+    else:
+        recv2d = receivers.reshape(-1, 1)
     mask2d = mask.reshape(-1, 1)
 
     def tile_spec():
@@ -457,6 +538,10 @@ def _fused_bwd(e, sg, d_proj, mask, receivers, w_e, ws, bs, w_out, b_out,
                             memory_space=pltpu.VMEM)
 
     nh = max(n_hidden, 1)
+    mask_specs = [] if premask else [
+        pl.BlockSpec((ET, 1), lambda t, tb, tf: (t, 0),
+                     memory_space=pltpu.VMEM)]
+    mask_operands = [] if premask else [mask2d]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_tiles,),
@@ -465,8 +550,7 @@ def _fused_bwd(e, sg, d_proj, mask, receivers, w_e, ws, bs, w_out, b_out,
                          memory_space=pltpu.VMEM),  # recv
             tile_spec(), tile_spec(),    # e, sg
             block_spec(),                # d_proj (node block)
-            pl.BlockSpec((ET, 1), lambda t, tb, tf: (t, 0),
-                         memory_space=pltpu.VMEM),  # mask
+            *mask_specs,                 # mask (legacy mode only)
             const_spec((h, h)),          # w_e
             const_spec((nh, h, h)),      # ws
             const_spec((nh, 1, h)),      # bs
@@ -493,8 +577,13 @@ def _fused_bwd(e, sg, d_proj, mask, receivers, w_e, ws, bs, w_out, b_out,
     ws_in = ws if n_hidden else jnp.zeros((1, h, h), e.dtype)
     bs_in = (bs.reshape(n_hidden, 1, h) if n_hidden
              else jnp.zeros((1, 1, h), e.dtype))
+    split = bwd_split()
+    if premask and split >= 2 and ET % split == 0:
+        bwd_kernel = _make_bwd_kernel_split(n_hidden, split)
+    else:
+        bwd_kernel = _make_bwd_kernel(n_hidden, premask)
     outs = pl.pallas_call(
-        _make_bwd_kernel(n_hidden),
+        bwd_kernel,
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct(e.shape, e.dtype),      # d_e
@@ -514,7 +603,7 @@ def _fused_bwd(e, sg, d_proj, mask, receivers, w_e, ws, bs, w_out, b_out,
             bytes_accessed=7 * e.size * e.dtype.itemsize,
             transcendentals=0,
         ),
-    )(tile_block, tile_first, recv2d, e, sg, d_proj, mask2d,
+    )(tile_block, tile_first, recv2d, e, sg, d_proj, *mask_operands,
       w_e, ws_in, bs_in, w_out, b_out.reshape(1, h),
       ln_scale.reshape(1, h), ln_bias.reshape(1, h), ct_e, ct_agg)
     (d_e, d_sg, d_dproj, dwe, dws, dbs, dwo, dbo, dscale, dbias) = outs
@@ -525,3 +614,325 @@ def _fused_bwd(e, sg, d_proj, mask, receivers, w_e, ws, bs, w_out, b_out,
             dwe.astype(w_e.dtype), dws_out, dbs_out,
             dwo.astype(w_out.dtype), dbo[0].astype(b_out.dtype),
             dscale[0].astype(ln_scale.dtype), dbias[0].astype(ln_bias.dtype))
+
+
+def bwd_split() -> int:
+    """AERO_GNN_BWD_SPLIT=K (default 0/off): the fused backward processes
+    each edge tile as K independent row groups with the ops of each stage
+    emitted interleaved. The per-tile computation is one long DEPENDENT
+    matmul chain (~14 MXU ops); on an in-order core each dependent matmul
+    pays the MXU pipeline latency. K independent half-chains give the core
+    an issue-ready op while the other chain's result is still in flight.
+    Requires the premask one-hot path."""
+    import os
+
+    try:
+        return int(os.environ.get("AERO_GNN_BWD_SPLIT", "0"))
+    except ValueError:
+        return 0
+
+
+def _make_bwd_kernel_split(n_hidden: int, split: int):
+    """Premask-only backward with ``split`` interleaved row groups per tile
+    (see bwd_split). Stage-by-stage list comprehensions emit the groups'
+    ops adjacently, so consecutive MXU ops are data-independent."""
+
+    def kernel(tile_block_ref, tile_first_ref,
+               recv_ref, e_ref, sg_ref, dproj_ref,
+               w_e_ref, ws_ref, bs_ref, w_out_ref, b_out_ref,
+               ln_scale_ref, ln_bias_ref, ct_e_ref, ct_agg_ref,
+               de_out_ref, dsg_out_ref, ddproj_ref,
+               dwe_ref, dws_ref, dbs_ref, dwo_ref, dbo_ref,
+               dscale_ref, dbias_ref):
+        t = pl.program_id(0)
+
+        @pl.when(t == 0)
+        def _():
+            dwe_ref[:] = jnp.zeros_like(dwe_ref)
+            dws_ref[:] = jnp.zeros_like(dws_ref)
+            dbs_ref[:] = jnp.zeros_like(dbs_ref)
+            dwo_ref[:] = jnp.zeros_like(dwo_ref)
+            dbo_ref[:] = jnp.zeros_like(dbo_ref)
+            dscale_ref[:] = jnp.zeros_like(dscale_ref)
+            dbias_ref[:] = jnp.zeros_like(dbias_ref)
+
+        @pl.when(tile_first_ref[t] == 1)
+        def _():
+            ddproj_ref[:] = jnp.zeros_like(ddproj_ref)
+
+        def mm(a, b, ta=False, tb=False):
+            dims = ((((0,) if ta else (1,)), ((1,) if tb else (0,))),
+                    ((), ()))
+            return jax.lax.dot_general(
+                a, b, dims, preferred_element_type=jnp.float32)
+
+        S = ET // split
+        R = range(split)
+
+        def half(a, i):
+            return jax.lax.slice_in_dim(a, i * S, (i + 1) * S, axis=0)
+
+        e_full = e_ref[:]
+        dt = e_full.dtype
+        sg_full = sg_ref[:]
+        ct_e_full = ct_e_ref[:]
+        dproj = dproj_ref[:]
+        ct_agg = ct_agg_ref[:]
+        w_e = w_e_ref[:]
+        w_out = w_out_ref[:]
+        scale32 = ln_scale_ref[:].astype(jnp.float32)
+        base = tile_block_ref[t] * NB
+        recv = recv_ref[:]
+
+        onehot = [build_onehot(half(recv, i), base, dt) for i in R]
+        e_h = [half(e_full, i) for i in R]
+
+        # ---- recompute forward chain, stagewise-interleaved ----
+        dg = [mm(onehot[i], dproj).astype(dt) for i in R]
+        h0 = [mm(e_h[i], w_e).astype(dt) + half(sg_full, i) + dg[i]
+              for i in R]
+        acts = [[jnp.maximum(h0[i], 0)] for i in R]
+        for l in range(n_hidden):
+            zi = [mm(acts[i][-1], ws_ref[l]).astype(dt) + bs_ref[l]
+                  for i in R]
+            for i in R:
+                acts[i].append(jnp.maximum(zi[i], 0))
+        d = [mm(acts[i][-1], w_out).astype(dt) + b_out_ref[:] for i in R]
+        d32 = [d[i].astype(jnp.float32) for i in R]
+        stats = [_ln_stats(d32[i], d32[i].shape[-1]) for i in R]
+        inv = [jax.lax.rsqrt(stats[i][1] + LN_EPS) for i in R]
+        xn = [(d32[i] - stats[i][0]) * inv[i] for i in R]
+
+        # ---- cotangents ----
+        ct_tot = [half(ct_e_full, i) + mm(onehot[i], ct_agg).astype(dt)
+                  for i in R]
+        ct32 = [ct_tot[i].astype(jnp.float32) for i in R]
+        lnb = [_ln_bwd(ct32[i], xn[i], inv[i], scale32) for i in R]
+        acc_s = lnb[0][1]
+        acc_b = lnb[0][2]
+        for i in R[1:]:
+            acc_s = acc_s + lnb[i][1]
+            acc_b = acc_b + lnb[i][2]
+        dscale_ref[:] += acc_s
+        dbias_ref[:] += acc_b
+        d_d = [lnb[i][0].astype(dt) for i in R]
+
+        dwo_parts = [mm(acts[i][-1], d_d[i], ta=True) for i in R]
+        dwo_acc = dwo_parts[0]
+        for i in R[1:]:
+            dwo_acc = dwo_acc + dwo_parts[i]
+        dwo_ref[:] += dwo_acc
+        dbo_acc = _colsum(d_d[0])
+        for i in R[1:]:
+            dbo_acc = dbo_acc + _colsum(d_d[i])
+        dbo_ref[:] += dbo_acc
+        dz = [mm(d_d[i], w_out, tb=True).astype(dt) for i in R]
+        dz = [dz[i] * (acts[i][-1].astype(jnp.float32) > 0).astype(dt)
+              for i in R]
+
+        for l in reversed(range(n_hidden)):
+            dws_parts = [mm(acts[i][l], dz[i], ta=True) for i in R]
+            acc = dws_parts[0]
+            for i in R[1:]:
+                acc = acc + dws_parts[i]
+            dws_ref[l] += acc
+            acc = _colsum(dz[0])
+            for i in R[1:]:
+                acc = acc + _colsum(dz[i])
+            dbs_ref[l] += acc
+            dz = [mm(dz[i], ws_ref[l], tb=True).astype(dt) for i in R]
+            dz = [dz[i] * (acts[i][l].astype(jnp.float32) > 0).astype(dt)
+                  for i in R]
+
+        dwe_parts = [mm(e_h[i], dz[i], ta=True) for i in R]
+        acc = dwe_parts[0]
+        for i in R[1:]:
+            acc = acc + dwe_parts[i]
+        dwe_ref[:] += acc
+        d_e = [ct_tot[i] + mm(dz[i], w_e, tb=True).astype(dt) for i in R]
+        for i in R:
+            de_out_ref[i * S:(i + 1) * S] = d_e[i]
+            dsg_out_ref[i * S:(i + 1) * S] = dz[i]
+        ddp_parts = [mm(onehot[i], dz[i], ta=True) for i in R]
+        acc = ddp_parts[0]
+        for i in R[1:]:
+            acc = acc + ddp_parts[i]
+        ddproj_ref[:] += acc.astype(ddproj_ref.dtype)
+
+    return kernel
+
+
+# ---------------------------------------------------------------------------
+# saved-activations backward (AERO_GNN_SAVE_ACTS=1): the forward streamed the
+# post-ReLU activations, pre-LN output and f32 LN stats to HBM, so this
+# kernel starts directly at the LayerNorm backward — the per-tile serial
+# chain drops the gather + 3-matmul recompute (and its VPU interleave), and
+# the sg / d_proj streams disappear from the backward entirely. The one-hot
+# here is always premasked (receiver -1 on pad edges).
+# ---------------------------------------------------------------------------
+
+def _make_bwd_kernel_saved(n_hidden: int):
+    def kernel(tile_block_ref, tile_first_ref,
+               recv_ref, e_ref, zs_ref, d_ref, mu_ref, inv_ref,
+               w_e_ref, ws_ref, w_out_ref, ln_scale_ref,
+               ct_e_ref, ct_agg_ref,
+               de_out_ref, dsg_out_ref, ddproj_ref,
+               dwe_ref, dws_ref, dbs_ref, dwo_ref, dbo_ref,
+               dscale_ref, dbias_ref):
+        t = pl.program_id(0)
+
+        @pl.when(t == 0)
+        def _():
+            dwe_ref[:] = jnp.zeros_like(dwe_ref)
+            dws_ref[:] = jnp.zeros_like(dws_ref)
+            dbs_ref[:] = jnp.zeros_like(dbs_ref)
+            dwo_ref[:] = jnp.zeros_like(dwo_ref)
+            dbo_ref[:] = jnp.zeros_like(dbo_ref)
+            dscale_ref[:] = jnp.zeros_like(dscale_ref)
+            dbias_ref[:] = jnp.zeros_like(dbias_ref)
+
+        @pl.when(tile_first_ref[t] == 1)
+        def _():
+            ddproj_ref[:] = jnp.zeros_like(ddproj_ref)
+
+        def mm(a, b, ta=False, tb=False):
+            dims = ((((0,) if ta else (1,)), ((1,) if tb else (0,))),
+                    ((), ()))
+            return jax.lax.dot_general(
+                a, b, dims, preferred_element_type=jnp.float32)
+
+        e = e_ref[:]
+        dt = e.dtype
+
+        base = tile_block_ref[t] * NB
+        onehot = build_onehot(recv_ref[:], base, dt)
+
+        # xn recomputed exactly: d is the forward's bf16 value, mu/inv the
+        # forward's f32 stats
+        inv = inv_ref[:]
+        xn = (d_ref[:].astype(jnp.float32) - mu_ref[:]) * inv
+
+        ct_total = ct_e_ref[:] + mm(onehot, ct_agg_ref[:]).astype(dt)
+        ct32 = ct_total.astype(jnp.float32)
+        d_d, dscale, dbias = _ln_bwd(
+            ct32, xn, inv, ln_scale_ref[:].astype(jnp.float32))
+        dscale_ref[:] += dscale
+        dbias_ref[:] += dbias
+        d_d = d_d.astype(dt)
+
+        z_last = zs_ref[n_hidden]
+        dwo_ref[:] += mm(z_last, d_d, ta=True)
+        dbo_ref[:] += _colsum(d_d)
+        dz = mm(d_d, w_out_ref[:], tb=True).astype(dt)
+        dz = dz * (z_last.astype(jnp.float32) > 0).astype(dt)
+
+        for i in reversed(range(n_hidden)):
+            zi = zs_ref[i]
+            dws_ref[i] += mm(zi, dz, ta=True)
+            dbs_ref[i] += _colsum(dz)
+            dz = mm(dz, ws_ref[i], tb=True).astype(dt)
+            dz = dz * (zi.astype(jnp.float32) > 0).astype(dt)
+
+        dwe_ref[:] += mm(e, dz, ta=True)
+        de_out_ref[:] = ct_total + mm(dz, w_e_ref[:], tb=True).astype(dt)
+        dsg_out_ref[:] = dz
+        ddproj_ref[:] += mm(onehot, dz, ta=True).astype(ddproj_ref.dtype)
+
+    return kernel
+
+
+def _fused_bwd_saved(e, mask, receivers, w_e, ws, w_out, ln_scale, saved,
+                     num_nodes: int, ct, *, bs_shape, b_out_shape,
+                     ln_bias_shape):
+    zs, d, mu, inv = saved
+    ct_e, ct_agg = ct
+    n_tiles = receivers.shape[0] // ET
+    h = e.shape[1]
+    n_hidden = ws.shape[0]
+    tile_block, tile_first = derive_tiles(receivers)
+    recv2d = premask_receivers(receivers, mask).reshape(-1, 1)
+
+    def tile_spec():
+        return pl.BlockSpec((ET, h), lambda t, tb, tf: (t, 0),
+                            memory_space=pltpu.VMEM)
+
+    def block_spec():
+        return pl.BlockSpec((NB, h), lambda t, tb, tf: (tb[t], 0),
+                            memory_space=pltpu.VMEM)
+
+    def const_spec(shape):
+        nd = len(shape)
+        return pl.BlockSpec(shape, lambda t, tb, tf: (0,) * nd,
+                            memory_space=pltpu.VMEM)
+
+    def col_spec():
+        return pl.BlockSpec((ET, 1), lambda t, tb, tf: (t, 0),
+                            memory_space=pltpu.VMEM)
+
+    nh = max(n_hidden, 1)
+    nh1 = n_hidden + 1
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_tiles,),
+        in_specs=[
+            col_spec(),                  # recv (premasked)
+            tile_spec(),                 # e
+            pl.BlockSpec((nh1, ET, h), lambda t, tb, tf: (0, t, 0),
+                         memory_space=pltpu.VMEM),  # zs
+            tile_spec(),                 # d
+            col_spec(),                  # mu
+            col_spec(),                  # inv
+            const_spec((h, h)),          # w_e
+            const_spec((nh, h, h)),      # ws
+            const_spec((h, h)),          # w_out
+            const_spec((1, h)),          # ln_scale
+            tile_spec(),                 # ct_e
+            block_spec(),                # ct_agg
+        ],
+        out_specs=(
+            tile_spec(),                 # d_e
+            tile_spec(),                 # d_sg
+            block_spec(),                # d_dproj
+            const_spec((h, h)),          # dW_e
+            const_spec((nh, h, h)),      # dWs
+            const_spec((nh, 1, h)),      # dbs
+            const_spec((h, h)),          # dW_out
+            const_spec((1, h)),          # db_out
+            const_spec((1, h)),          # dscale
+            const_spec((1, h)),          # dbias
+        ),
+    )
+    ws_in = ws if n_hidden else jnp.zeros((1, h, h), e.dtype)
+    outs = pl.pallas_call(
+        _make_bwd_kernel_saved(n_hidden),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct(e.shape, e.dtype),
+            jax.ShapeDtypeStruct(e.shape, e.dtype),
+            jax.ShapeDtypeStruct((num_nodes, h), e.dtype),
+            jax.ShapeDtypeStruct((h, h), jnp.float32),
+            jax.ShapeDtypeStruct((nh, h, h), jnp.float32),
+            jax.ShapeDtypeStruct((nh, 1, h), jnp.float32),
+            jax.ShapeDtypeStruct((h, h), jnp.float32),
+            jax.ShapeDtypeStruct((1, h), jnp.float32),
+            jax.ShapeDtypeStruct((1, h), jnp.float32),
+            jax.ShapeDtypeStruct((1, h), jnp.float32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * (2 * n_tiles * ET * h * h * (2 + n_hidden))
+            + 4 * n_tiles * ET * NB * h,
+            bytes_accessed=9 * e.size * e.dtype.itemsize,
+            transcendentals=0,
+        ),
+    )(tile_block, tile_first, recv2d, e, zs, d, mu, inv,
+      w_e, ws_in, w_out, ln_scale.reshape(1, h), ct_e, ct_agg)
+    (d_e, d_sg, d_dproj, dwe, dws, dbs, dwo, dbo, dscale, dbias) = outs
+    dws_out = dws[:n_hidden].astype(ws.dtype)
+    dbs_out = dbs[:n_hidden, 0].astype(bs_shape.dtype) if n_hidden \
+        else jnp.zeros_like(bs_shape)
+    # sg / d_proj share e's compute dtype (the whole chain is one dtype)
+    return (d_e, d_sg, d_dproj.astype(e.dtype), None, None,
+            dwe.astype(w_e.dtype), dws_out, dbs_out,
+            dwo.astype(w_out.dtype), dbo[0].astype(b_out_shape.dtype),
+            dscale[0].astype(ln_scale.dtype),
+            dbias[0].astype(ln_bias_shape.dtype))

@@ -33,6 +33,51 @@ NB = ALIGN_NODE_BLOCK  # output rows per node block
 ET = ALIGN_EDGE_TILE   # edges per tile
 
 
+def onehot_premask_enabled() -> bool:
+    """AERO_GNN_ONEHOT: "premask" (default) folds the pad-edge mask into the
+    receiver stream OUTSIDE the kernel (pad edges -> receiver -1, which falls
+    outside every block's [0, NB) local range, so the one-hot row is all
+    zeros without an in-kernel mask multiply). "mask" = legacy in-kernel
+    [ET, NB] mask multiply + separate mask stream. The premask form removes
+    one full-width VPU op per one-hot and the mask DMA from the serial
+    per-tile chain."""
+    import os
+
+    return os.environ.get("AERO_GNN_ONEHOT", "premask") != "mask"
+
+
+def premask_receivers(receivers: jax.Array, mask: jax.Array) -> jax.Array:
+    """Fold the pad-edge mask into the receiver stream (pad -> -1). The
+    result is ONLY for in-kernel one-hot construction — tile->block
+    derivation (derive_tiles) must keep using the raw receivers."""
+    return jnp.where(mask != 0, receivers,
+                     jnp.int32(-1)).astype(receivers.dtype)
+
+
+def build_onehot(recv_tile, base, dtype, mask_tile=None):
+    """Shared in-kernel one-hot: rows = edges of the tile (inferred from
+    ``recv_tile``), cols = local node ids of the block at ``base``. Built in
+    f32 and cast by default: an i1-mask select straight into bf16 trips a
+    Mosaic relayout bug ((8,128) vs (16,128) tiling) — set
+    AERO_GNN_ONEHOT=premask_direct to probe whether the toolchain still has
+    it (saves the [rows, NB] cast). With premasked receivers (mask_tile
+    None) pad rows are already all-zero because their local id (-1 - base)
+    matches no column."""
+    import os
+
+    rows = recv_tile.shape[0]
+    local = recv_tile - base
+    cols = jax.lax.broadcasted_iota(jnp.int32, (rows, NB), 1)
+    if (mask_tile is None and dtype != jnp.float32
+            and os.environ.get("AERO_GNN_ONEHOT") == "premask_direct"):
+        return jnp.where(local == cols, jnp.ones((), dtype),
+                         jnp.zeros((), dtype))
+    eq = jnp.where(local == cols, 1.0, 0.0)
+    if mask_tile is not None:
+        eq = eq * mask_tile.astype(jnp.float32)
+    return eq.astype(dtype)
+
+
 def _agg_kernel(tile_block_ref, tile_first_ref, recv_ref, msgs_ref,
                 mask_ref, out_ref):
     t = pl.program_id(0)
@@ -42,13 +87,25 @@ def _agg_kernel(tile_block_ref, tile_first_ref, recv_ref, msgs_ref,
         out_ref[:] = jnp.zeros_like(out_ref)
 
     base = tile_block_ref[t] * NB
-    local = recv_ref[:] - base  # [ET, 1] int32
-    cols = jax.lax.broadcasted_iota(jnp.int32, (ET, NB), 1)
-    # build the one-hot in f32 and cast: an i1-mask select straight into
-    # bf16 trips a Mosaic relayout bug ((8,128) vs (16,128) tiling)
-    eq = jnp.where(local == cols, 1.0, 0.0)
-    onehot = (eq * mask_ref[:].astype(jnp.float32)).astype(msgs_ref.dtype)
+    onehot = build_onehot(recv_ref[:], base, msgs_ref.dtype, mask_ref[:])
     # [NB(out_rows), ET(edges)] contraction on the MXU
+    out_ref[:] += jax.lax.dot_general(
+        onehot, msgs_ref[:],
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(out_ref.dtype)
+
+
+def _agg_kernel_premask(tile_block_ref, tile_first_ref, recv_ref, msgs_ref,
+                        out_ref):
+    t = pl.program_id(0)
+
+    @pl.when(tile_first_ref[t] == 1)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    base = tile_block_ref[t] * NB
+    onehot = build_onehot(recv_ref[:], base, msgs_ref.dtype)
     out_ref[:] += jax.lax.dot_general(
         onehot, msgs_ref[:],
         dimension_numbers=(((0,), (0,)), ((), ())),
@@ -63,25 +120,33 @@ def _segment_sum_fwd_pallas(messages, receivers, mask, tile_block,
         f"messages rows {messages.shape[0]} != tiles {n_tiles} * {ET}")
     assert num_nodes % NB == 0, f"num_nodes {num_nodes} % {NB} != 0"
     h = messages.shape[1]
-    recv2d = receivers.reshape(-1, 1)
+    premask = onehot_premask_enabled()
+    if premask:
+        recv2d = premask_receivers(receivers, mask).reshape(-1, 1)
+    else:
+        recv2d = receivers.reshape(-1, 1)
     mask2d = mask.reshape(-1, 1)
 
+    in_specs = [
+        pl.BlockSpec((ET, 1), lambda t, tb, tf: (t, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((ET, h), lambda t, tb, tf: (t, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = [recv2d, messages]
+    if not premask:
+        in_specs.append(pl.BlockSpec((ET, 1), lambda t, tb, tf: (t, 0),
+                                     memory_space=pltpu.VMEM))
+        operands.append(mask2d)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,  # tile_block, tile_first
         grid=(n_tiles,),
-        in_specs=[
-            pl.BlockSpec((ET, 1), lambda t, tb, tf: (t, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((ET, h), lambda t, tb, tf: (t, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((ET, 1), lambda t, tb, tf: (t, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((NB, h), lambda t, tb, tf: (tb[t], 0),
                                memory_space=pltpu.VMEM),
     )
     return pl.pallas_call(
-        _agg_kernel,
+        _agg_kernel_premask if premask else _agg_kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((num_nodes, h), messages.dtype),
         cost_estimate=pl.CostEstimate(
@@ -90,7 +155,7 @@ def _segment_sum_fwd_pallas(messages, receivers, mask, tile_block,
             * messages.dtype.itemsize,
             transcendentals=0,
         ),
-    )(tile_block, tile_first, recv2d, messages, mask2d)
+    )(tile_block, tile_first, *operands)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
@@ -122,9 +187,7 @@ def _gather_kernel(tile_block_ref, recv_ref, nodes_ref, out_ref):
     matmul [ET, NB] @ [NB, h] (the transpose of the aggregation kernel)."""
     t = pl.program_id(0)
     base = tile_block_ref[t] * NB
-    local = recv_ref[:] - base  # [ET, 1]
-    cols = jax.lax.broadcasted_iota(jnp.int32, (ET, NB), 1)
-    onehot = jnp.where(local == cols, 1.0, 0.0).astype(nodes_ref.dtype)
+    onehot = build_onehot(recv_ref[:], base, nodes_ref.dtype)
     out_ref[:] = jax.lax.dot_general(
         onehot, nodes_ref[:],
         dimension_numbers=(((1,), (0,)), ((), ())),
