@@ -10,6 +10,7 @@ tooling can diff reports between frameworks.
 from __future__ import annotations
 
 import datetime
+import functools
 import os
 from typing import Any, Dict, List, Optional
 
@@ -58,6 +59,17 @@ def plot_2d_predictions(pos, pred, target, feature_names, save_path,
     plt.close(fig)
 
 
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _predict_jit(model_cfg, needs_hierarchy, params, graph, hierarchy):
+    """Module-level jitted forward: model configs are frozen (hashable)
+    dataclasses, so every AeroInference instance with the same config +
+    shapes shares ONE compiled executable instead of re-jitting per
+    instance."""
+    if needs_hierarchy:
+        return model_cfg.apply(params, graph, hierarchy=hierarchy)
+    return model_cfg.apply(params, graph)
+
+
 class AeroInference:
     def __init__(self, model_cfg, params, norm_stats: Dict[str, np.ndarray],
                  exp_params: Dict[str, Any], *,
@@ -72,12 +84,10 @@ class AeroInference:
         self.num_scales = num_scales
         self.hierarchy_mode = hierarchy_mode
         self.stride = stride
-        self._predict = jax.jit(self._predict_impl)
 
-    def _predict_impl(self, params, graph, hierarchy):
-        if self.needs_hierarchy:
-            return self.model_cfg.apply(params, graph, hierarchy=hierarchy)
-        return self.model_cfg.apply(params, graph)
+    def _predict(self, params, graph, hierarchy):
+        return _predict_jit(self.model_cfg, self.needs_hierarchy,
+                            params, graph, hierarchy)
 
     def predict_single(self, graph, aux, n_nodes: int):
         """Returns (pred_phys, target_phys, pred_norm, target_norm) as numpy
@@ -88,6 +98,25 @@ class AeroInference:
         pred_phys = denormalize_predictions(pred_norm, self.norm_stats)
         target_phys = denormalize_predictions(target_norm, self.norm_stats)
         return pred_phys, target_phys, pred_norm, target_norm
+
+    def predict_batch(self, graph, aux):
+        """One device pass over a multi-sample batch; returns per-sample
+        (pred_phys, target_phys, pred_norm, target_norm) tuples. Samples
+        are concatenated in order by the loader, so per-sample rows are
+        contiguous slices at cumulative node offsets."""
+        pred = np.asarray(
+            self._predict(self.params, graph, aux.get("hierarchy")))
+        target = np.asarray(graph.y)
+        outs = []
+        off = 0
+        for s in aux["samples"]:
+            pn = pred[off:off + s.num_nodes]
+            tn = target[off:off + s.num_nodes]
+            outs.append((denormalize_predictions(pn, self.norm_stats),
+                         denormalize_predictions(tn, self.norm_stats),
+                         pn, tn))
+            off += s.num_nodes
+        return outs
 
     def run_inference(self, test_samples: List[MeshSample],
                       output_dir: str,
@@ -107,17 +136,24 @@ class AeroInference:
         os.makedirs(vtu_dir, exist_ok=True)
         make_plots = self.exp_params.get("make_plots", True)
 
-        loader = Loader(test_samples, batch_size=1,
+        # batch_size > 1 amortizes device passes over several cases (one
+        # padded shape, one executable); per-case reporting is unchanged —
+        # predict_batch slices per-sample rows back out.
+        batch_size = int(self.exp_params.get("inference_batch_size", 1))
+        loader = Loader(test_samples, batch_size=batch_size,
                         num_scales=self.num_scales if self.needs_hierarchy
                         else None,
                         hierarchy_mode=self.hierarchy_mode, stride=self.stride)
 
+        def _cases():
+            for graph, aux in loader:
+                for sample, p4 in zip(aux["samples"],
+                                      self.predict_batch(graph, aux)):
+                    yield sample, p4
+
         all_case: List[dict] = []
         cat_pp, cat_tp, cat_pn, cat_tn = [], [], [], []
-        for i, (graph, aux) in enumerate(loader):
-            sample = aux["samples"][0]
-            pp, tp, pn, tn = self.predict_single(graph, aux,
-                                                 sample.num_nodes)
+        for i, (sample, (pp, tp, pn, tn)) in enumerate(_cases()):
             cat_pp.append(pp), cat_tp.append(tp)
             cat_pn.append(pn), cat_tn.append(tn)
             rrmse = compute_rrmse_percent(pp, tp)

@@ -204,7 +204,7 @@ class BSMSConfig(MGNConfig):
                                  sender_perm=sperm, senders_sorted=ssort,
                                  remat=self.remat,
                                  remat_policy=self.remat_policy,
-                                 aligned=aligned)
+                                 aligned=aligned, unroll=self.unroll)
             skips.append((x, e, senders, receivers, edge_mask, sperm, ssort,
                           aligned))
             # fine->coarse transfers ride SORTED segment sums when the
@@ -280,7 +280,7 @@ class BSMSConfig(MGNConfig):
                              sender_perm=sperm, senders_sorted=ssort,
                              remat=self.remat,
                              remat_policy=self.remat_policy,
-                             aligned=aligned)
+                             aligned=aligned, unroll=self.unroll)
 
         # ---- up path ----
         for i in range(len(hierarchy)):
@@ -306,7 +306,7 @@ class BSMSConfig(MGNConfig):
                                  sender_perm=sperm, senders_sorted=ssort,
                                  remat=self.remat,
                                  remat_policy=self.remat_policy,
-                                 aligned=aligned)
+                                 aligned=aligned, unroll=self.unroll)
 
         return M.mlp_apply(params["decoder"], x, activation=self.activation)
 

@@ -64,7 +64,8 @@ class PoolMGNConfig(MGNConfig):
             graph.senders, graph.receivers, graph.edge_mask,
             sender_perm=graph.sender_perm,
             senders_sorted=graph.senders_sorted, remat=self.remat,
-            remat_policy=self.remat_policy, aligned=graph.edges_aligned)
+            remat_policy=self.remat_policy, aligned=graph.edges_aligned,
+            unroll=self.unroll)
         return M.mlp_apply(params["decoder"], x, activation=self.activation)
 
 

@@ -617,19 +617,21 @@ def _fused_bwd(e, sg, d_proj, mask, receivers, w_e, ws, bs, w_out, b_out,
 
 
 def bwd_split() -> int:
-    """AERO_GNN_BWD_SPLIT=K (default 0/off): the fused backward processes
-    each edge tile as K independent row groups with the ops of each stage
-    emitted interleaved. The per-tile computation is one long DEPENDENT
-    matmul chain (~14 MXU ops); on an in-order core each dependent matmul
-    pays the MXU pipeline latency. K independent half-chains give the core
-    an issue-ready op while the other chain's result is still in flight.
-    Requires the premask one-hot path."""
+    """AERO_GNN_BWD_SPLIT=K (default 2): the fused backward processes each
+    edge tile as K independent row groups with the ops of each stage emitted
+    interleaved. The per-tile computation is one long DEPENDENT matmul chain
+    (~14 MXU ops); on an in-order core each dependent matmul pays the MXU
+    pipeline latency. K independent half-chains give the core an issue-ready
+    op while the other chain's result is still in flight. Measured (65k
+    bench, unrolled processor): K=2 69.8 -> 66.3 ms/step; K=4 67.1 (more
+    VPU splitting overhead than latency left to hide). 0 disables. Requires
+    the premask one-hot path (falls back to the unsplit kernel otherwise)."""
     import os
 
     try:
-        return int(os.environ.get("AERO_GNN_BWD_SPLIT", "0"))
+        return int(os.environ.get("AERO_GNN_BWD_SPLIT", "2"))
     except ValueError:
-        return 0
+        return 2
 
 
 def _make_bwd_kernel_split(n_hidden: int, split: int):

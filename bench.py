@@ -129,9 +129,16 @@ def main():
     remat_env = os.environ.get("BENCH_REMAT", "auto")
     remat = (n_nodes > 262144 if remat_env == "auto"
              else remat_env == "1")
-    log(f"per-layer remat: {remat} ({remat_env})")
+    # Unrolled processor (no lax.scan residual stacking copies): 92.0 ->
+    # 69.8 ms/step on the 65k mesh (benchmarks/ablate_structure.py).
+    # Defaults to the inverse of remat — with remat on, the scan body
+    # recomputes instead of stacking, and compile time matters more.
+    unroll_env = os.environ.get("BENCH_UNROLL", "auto")
+    unroll = (not remat) if unroll_env == "auto" else unroll_env == "1"
+    log(f"per-layer remat: {remat} ({remat_env}), unroll: {unroll}")
 
-    def build(do_concat_trick, compute_dtype="float32", remat=remat):
+    def build(do_concat_trick, compute_dtype="float32", remat=remat,
+              unroll=unroll):
         cfg = MGNConfig(
             input_node_dim=6, input_edge_dim=3, output_node_dim=4,
             processor_size=15, hidden_dim_processor=128,
@@ -143,7 +150,7 @@ def main():
             num_hidden_layers_edge_encoder=2,
             num_hidden_layers_decoder=2,
             aggregation="add", do_concat_trick=do_concat_trick,
-            compute_dtype=compute_dtype, remat=remat)
+            compute_dtype=compute_dtype, remat=remat, unroll=unroll)
         params = cfg.init(jax.random.PRNGKey(0))
         optimizer = make_optimizer(1e-3)
         opt_state = optimizer.init(params)
@@ -191,7 +198,8 @@ def main():
             # the naive baseline keeps per-layer remat: its [E,3h] concat
             # activations blow HBM without it (and 367 ms/step was measured
             # with remat on — keeping it keeps vs_baseline comparable)
-            p0, o0, step0, _ = build(do_concat_trick=False, remat=True)
+            p0, o0, step0, _ = build(do_concat_trick=False, remat=True,
+                                     unroll=False)
             t_base = time_scan_fn(step0, (p0, o0, graph_base), rtt,
                                   iters=ITERS)
         log(f"baseline (full-concat EdgeBlock, XLA): {t_base*1e3:.2f} "

@@ -49,7 +49,9 @@ def main():
         num_hidden_layers_edge_encoder=2,
         num_hidden_layers_decoder=2,
         aggregation="add", do_concat_trick=True,
-        compute_dtype="bfloat16")
+        compute_dtype="bfloat16",
+        remat=os.environ.get("BENCH_REMAT", "0") == "1",
+        unroll=os.environ.get("BENCH_UNROLL", "1") == "1")
 
     with ops.use_backend("pallas"):
         params = cfg.init(jax.random.PRNGKey(0))

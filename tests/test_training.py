@@ -111,6 +111,27 @@ def test_inference_engine_errors_txt(tiny_data, tmp_path):
     assert "CA:" in case_lines[0] and "Cm:" in case_lines[0]
 
 
+def test_inference_batched_matches_single(tiny_data, tmp_path):
+    """inference_batch_size=2 packs cases into one device pass; per-case
+    RRMSE lines must match the batch_size=1 path exactly."""
+    train, val, test, stats = tiny_data
+    dims = {"input_node_dim": 6, "input_edge_dim": 3, "output_node_dim": 4}
+    cfg = build_model(TINY_MODEL, dims)
+    params = cfg.init(jax.random.PRNGKey(1))
+    base_exp = {"dataset": {"name": "synthetic_airfoil",
+                            "output_features": ["P", "tau_x", "tau_y", "T"]},
+                "make_plots": False}
+    logs = {}
+    for bs in (1, 2):
+        exp = dict(base_exp, inference_batch_size=bs)
+        engine = AeroInference(cfg, params, stats, exp)
+        lines = []
+        engine.run_inference(test, str(tmp_path / f"bs{bs}"),
+                             log_fn=lines.append)
+        logs[bs] = [l for l in lines if l.startswith("Error in case")]
+    assert logs[1] and logs[1] == logs[2]
+
+
 def test_aero_coefficients_uniform_pressure_closed_loop():
     """Uniform pressure on a closed contour integrates to ~zero net force
     (analytic sanity for the coefficient math)."""
