@@ -96,6 +96,17 @@ def _ln_stats(d32, h):
     return mu, var
 
 
+def _relu_mask(dz, act, dt):
+    """dz masked by act > 0. Default: compare in f32 (historically Mosaic
+    lacked bf16 vector comparisons); AERO_GNN_BF16_CMP=1 probes the direct
+    bf16 compare (saves a [rows, h] cast per mask)."""
+    import os
+
+    if os.environ.get("AERO_GNN_BF16_CMP") == "1":
+        return dz * (act > 0).astype(dt)
+    return dz * (act.astype(jnp.float32) > 0).astype(dt)
+
+
 def _colsum(x):
     """Column sums of a [rows, h] tile -> [1, h] f32 on the VPU.
 
@@ -151,6 +162,20 @@ def save_acts_enabled() -> bool:
     import os
 
     return os.environ.get("AERO_GNN_SAVE_ACTS", "0") == "1"
+
+
+def fwd_split() -> int:
+    """AERO_GNN_FWD_SPLIT=K: like bwd_split but for the fused forward —
+    the per-tile forward is a ~5-deep dependent matmul chain (gather, h0,
+    hidden stack, out, aggregation). K interleaved row groups keep the MXU
+    pipeline fed across the dependencies. Requires the premask path and is
+    incompatible with save_acts (the saved-acts layout is per-tile)."""
+    import os
+
+    try:
+        return int(os.environ.get("AERO_GNN_FWD_SPLIT", "0"))
+    except ValueError:
+        return 0
 
 
 def _make_kernel(n_hidden: int, activation: str, premask: bool,
@@ -233,6 +258,70 @@ def _make_kernel(n_hidden: int, activation: str, premask: bool,
     return kernel
 
 
+def _make_kernel_split(n_hidden: int, activation: str, split: int):
+    """Premask-only forward with ``split`` interleaved row groups per tile
+    (see fwd_split)."""
+    if activation != "relu":
+        raise ValueError("fused kernel supports relu (the reference "
+                         "hardcodes ReLU in EdgeBlockSum)")
+
+    def kernel(tile_block_ref, tile_first_ref,
+               recv_ref, e_ref, sg_ref, dproj_ref,
+               w_e_ref, ws_ref, bs_ref, w_out_ref, b_out_ref,
+               ln_scale_ref, ln_bias_ref, e_out_ref, agg_ref):
+        t = pl.program_id(0)
+
+        @pl.when(tile_first_ref[t] == 1)
+        def _():
+            agg_ref[:] = jnp.zeros_like(agg_ref)
+
+        def mm(a, b, ta=False):
+            dims = ((((0,) if ta else (1,)), ((0,))), ((), ()))
+            return jax.lax.dot_general(
+                a, b, dims, preferred_element_type=jnp.float32)
+
+        S = ET // split
+        R = range(split)
+
+        def half(a, i):
+            return jax.lax.slice_in_dim(a, i * S, (i + 1) * S, axis=0)
+
+        e_full = e_ref[:]
+        dt = e_full.dtype
+        sg_full = sg_ref[:]
+        dproj = dproj_ref[:]
+        w_e = w_e_ref[:]
+        w_out = w_out_ref[:]
+        base = tile_block_ref[t] * NB
+        recv = recv_ref[:]
+        scale32 = ln_scale_ref[:].astype(jnp.float32)
+        bias32 = ln_bias_ref[:].astype(jnp.float32)
+
+        onehot = [build_onehot(half(recv, i), base, dt) for i in R]
+        e_h = [half(e_full, i) for i in R]
+        dg = [mm(onehot[i], dproj).astype(dt) for i in R]
+        z = [jnp.maximum(mm(e_h[i], w_e).astype(dt)
+                         + half(sg_full, i) + dg[i], 0) for i in R]
+        for l in range(n_hidden):
+            z = [jnp.maximum(mm(z[i], ws_ref[l]).astype(dt) + bs_ref[l], 0)
+                 for i in R]
+        de = [mm(z[i], w_out).astype(dt) + b_out_ref[:] for i in R]
+        d32 = [de[i].astype(jnp.float32) for i in R]
+        stats = [_ln_stats(d32[i], d32[i].shape[-1]) for i in R]
+        ln = [(d32[i] - stats[i][0])
+              * jax.lax.rsqrt(stats[i][1] + LN_EPS) for i in R]
+        e_new = [e_h[i] + (ln[i] * scale32 + bias32).astype(dt) for i in R]
+        for i in R:
+            e_out_ref[i * S:(i + 1) * S] = e_new[i]
+        agg_parts = [mm(onehot[i], e_new[i], ta=True) for i in R]
+        acc = agg_parts[0]
+        for i in R[1:]:
+            acc = acc + agg_parts[i]
+        agg_ref[:] += acc.astype(agg_ref.dtype)
+
+    return kernel
+
+
 def _fused_fwd(e, sg, d_proj, mask, receivers, w_e, ws, bs, w_out, b_out,
                ln_scale, ln_bias, num_nodes: int, activation: str,
                save_acts: bool = False):
@@ -310,8 +399,13 @@ def _fused_fwd(e, sg, d_proj, mask, receivers, w_e, ws, bs, w_out, b_out,
     ws_in = ws if n_hidden else jnp.zeros((1, h, h), e.dtype)
     bs_in = (bs.reshape(n_hidden, 1, h) if n_hidden
              else jnp.zeros((1, 1, h), e.dtype))
+    split = fwd_split()
+    if premask and not save_acts and split >= 2 and ET % split == 0:
+        fwd_kernel = _make_kernel_split(n_hidden, activation, split)
+    else:
+        fwd_kernel = _make_kernel(n_hidden, activation, premask, save_acts)
     return pl.pallas_call(
-        _make_kernel(n_hidden, activation, premask, save_acts),
+        fwd_kernel,
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct(e.shape, e.dtype),
@@ -488,16 +582,15 @@ def _make_bwd_kernel(n_hidden: int, premask: bool):
         # ---- output linear ----
         dwo_ref[:] += mm(acts[-1], d_d, ta=True)
         dbo_ref[:] += _colsum(d_d)
-        dz = mm(d_d, w_out_ref[:], tb=True).astype(dt)
-        # relu mask in f32: Mosaic lacks bf16 vector comparisons
-        dz = dz * (acts[-1].astype(jnp.float32) > 0).astype(dt)
+        dz = _relu_mask(mm(d_d, w_out_ref[:], tb=True).astype(dt),
+                        acts[-1], dt)
 
         # ---- hidden stack (reverse) ----
         for i in reversed(range(n_hidden)):
             dws_ref[i] += mm(acts[i], dz, ta=True)
             dbs_ref[i] += _colsum(dz)
-            dz = mm(dz, ws_ref[i], tb=True).astype(dt)
-            dz = dz * (acts[i].astype(jnp.float32) > 0).astype(dt)
+            dz = _relu_mask(mm(dz, ws_ref[i], tb=True).astype(dt),
+                            acts[i], dt)
 
         # dz is now d(h0) == d_sg == d_dg (pre-mask)
         dwe_ref[:] += mm(e, dz, ta=True)
@@ -729,8 +822,7 @@ def _make_bwd_kernel_split(n_hidden: int, split: int):
             dbo_acc = dbo_acc + _colsum(d_d[i])
         dbo_ref[:] += dbo_acc
         dz = [mm(d_d[i], w_out, tb=True).astype(dt) for i in R]
-        dz = [dz[i] * (acts[i][-1].astype(jnp.float32) > 0).astype(dt)
-              for i in R]
+        dz = [_relu_mask(dz[i], acts[i][-1], dt) for i in R]
 
         for l in reversed(range(n_hidden)):
             dws_parts = [mm(acts[i][l], dz[i], ta=True) for i in R]
@@ -743,8 +835,7 @@ def _make_bwd_kernel_split(n_hidden: int, split: int):
                 acc = acc + _colsum(dz[i])
             dbs_ref[l] += acc
             dz = [mm(dz[i], ws_ref[l], tb=True).astype(dt) for i in R]
-            dz = [dz[i] * (acts[i][l].astype(jnp.float32) > 0).astype(dt)
-                  for i in R]
+            dz = [_relu_mask(dz[i], acts[i][l], dt) for i in R]
 
         dwe_parts = [mm(e_h[i], dz[i], ta=True) for i in R]
         acc = dwe_parts[0]
@@ -825,15 +916,15 @@ def _make_bwd_kernel_saved(n_hidden: int):
         z_last = zs_ref[n_hidden]
         dwo_ref[:] += mm(z_last, d_d, ta=True)
         dbo_ref[:] += _colsum(d_d)
-        dz = mm(d_d, w_out_ref[:], tb=True).astype(dt)
-        dz = dz * (z_last.astype(jnp.float32) > 0).astype(dt)
+        dz = _relu_mask(mm(d_d, w_out_ref[:], tb=True).astype(dt),
+                        z_last, dt)
 
         for i in reversed(range(n_hidden)):
             zi = zs_ref[i]
             dws_ref[i] += mm(zi, dz, ta=True)
             dbs_ref[i] += _colsum(dz)
-            dz = mm(dz, ws_ref[i], tb=True).astype(dt)
-            dz = dz * (zi.astype(jnp.float32) > 0).astype(dt)
+            dz = _relu_mask(mm(dz, ws_ref[i], tb=True).astype(dt),
+                            zi, dt)
 
         dwe_ref[:] += mm(e, dz, ta=True)
         de_out_ref[:] = ct_total + mm(dz, w_e_ref[:], tb=True).astype(dt)
