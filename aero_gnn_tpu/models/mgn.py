@@ -190,15 +190,27 @@ def run_processor(stacked_layers, layer_cfg: B.MGNLayerConfig,
             body = jax.checkpoint(body, policy=policy)
         else:
             body = jax.checkpoint(body)
+    return scan_layers(body, (x, e), stacked_layers, unroll=unroll)
+
+
+def scan_layers(body, carry, stacked_layers, *, unroll: bool = False):
+    """lax.scan over stacked per-layer params, or a Python unroll.
+
+    scan stacks every layer's backward residuals into [L, ...] buffers
+    (dynamic_update_slice per iteration) and slices them back out in the
+    transpose — a profiled ~22 ms/step of pure copies at 15 layers x 65k
+    nodes (benchmarks/profile_step.py). Unrolling emits each layer
+    separately (residuals stay distinct buffers) at ~L x the compile time.
+    ``body`` has scan semantics: (carry, layer_params) -> (carry, _).
+    """
     if unroll:
         num_layers = jax.tree.leaves(stacked_layers)[0].shape[0]
-        carry = (x, e)
         for i in range(num_layers):
-            layer_i = jax.tree.map(lambda a: a[i], stacked_layers)
+            layer_i = jax.tree.map(lambda a, i=i: a[i], stacked_layers)
             carry, _ = body(carry, layer_i)
         return carry
-    (x, e), _ = jax.lax.scan(body, (x, e), stacked_layers)
-    return x, e
+    carry, _ = jax.lax.scan(body, carry, stacked_layers)
+    return carry
 
 
 def _sub(rng: Optional[jax.Array], i: int) -> Optional[jax.Array]:

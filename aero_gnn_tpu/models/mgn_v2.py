@@ -117,6 +117,8 @@ class MGNv2Config:
                                     jnp.concatenate([x, agg], axis=-1))
             return (x, e), None
 
-        (x, e), _ = jax.lax.scan(body, (x, e), params["layers"])
+        from aero_gnn_tpu.models.mgn import scan_layers
+        x, e = scan_layers(body, (x, e), params["layers"],
+                           unroll=getattr(self, "unroll", False))
         return build_mlp_apply(params["decoder"], x, dropout=self.dropout,
                                rng=None if rng is None else jax.random.fold_in(rng, 2))

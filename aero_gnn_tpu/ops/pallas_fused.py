@@ -165,17 +165,18 @@ def save_acts_enabled() -> bool:
 
 
 def fwd_split() -> int:
-    """AERO_GNN_FWD_SPLIT=K: like bwd_split but for the fused forward —
-    the per-tile forward is a ~5-deep dependent matmul chain (gather, h0,
-    hidden stack, out, aggregation). K interleaved row groups keep the MXU
-    pipeline fed across the dependencies. Requires the premask path and is
-    incompatible with save_acts (the saved-acts layout is per-tile)."""
+    """AERO_GNN_FWD_SPLIT=K (default 4): like bwd_split but for the fused
+    forward — the per-tile forward is a ~5-deep dependent matmul chain
+    (gather, h0, hidden stack, out, aggregation). K interleaved row groups
+    keep the MXU pipeline fed across the dependencies. Measured (65k
+    bench): K=4 66.5 -> 65.9 ms/step, K=2 neutral. Requires the premask
+    path; incompatible with save_acts (whose saved layout is per-tile)."""
     import os
 
     try:
-        return int(os.environ.get("AERO_GNN_FWD_SPLIT", "0"))
+        return int(os.environ.get("AERO_GNN_FWD_SPLIT", "4"))
     except ValueError:
-        return 0
+        return 4
 
 
 def _make_kernel(n_hidden: int, activation: str, premask: bool,
@@ -802,12 +803,35 @@ def _make_bwd_kernel_split(n_hidden: int, split: int):
         ct_tot = [half(ct_e_full, i) + mm(onehot[i], ct_agg).astype(dt)
                   for i in R]
         ct32 = [ct_tot[i].astype(jnp.float32) for i in R]
-        lnb = [_ln_bwd(ct32[i], xn[i], inv[i], scale32) for i in R]
-        acc_s = lnb[0][1]
-        acc_b = lnb[0][2]
-        for i in R[1:]:
-            acc_s = acc_s + lnb[i][1]
-            acc_b = acc_b + lnb[i][2]
+        if ln_mxu_mode() == "2":
+            # LN backward inlined stagewise so the row groups' ops
+            # interleave (the _ln_bwd call would serialize per group)
+            h = ct32[0].shape[1]
+            ones_h = jnp.full((h, 1), 1.0 / h, jnp.float32)
+            mmc = functools.partial(
+                jax.lax.dot_general,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            g = [ct32[i] * scale32 for i in R]
+            gxn = [g[i] * xn[i] for i in R]
+            mean_g = [mmc(g[i], ones_h) for i in R]
+            mean_gxn = [mmc(gxn[i], ones_h) for i in R]
+            t1 = [ct32[i] * xn[i] for i in R]
+            acc_s = _colsum(t1[0])
+            acc_b = _colsum(ct32[0])
+            for i in R[1:]:
+                acc_s = acc_s + _colsum(t1[i])
+                acc_b = acc_b + _colsum(ct32[i])
+            d_d32 = [(g[i] - mean_g[i] - xn[i] * mean_gxn[i]) * inv[i]
+                     for i in R]
+            lnb = [(d_d32[i], None, None) for i in R]
+        else:
+            lnb = [_ln_bwd(ct32[i], xn[i], inv[i], scale32) for i in R]
+            acc_s = lnb[0][1]
+            acc_b = lnb[0][2]
+            for i in R[1:]:
+                acc_s = acc_s + lnb[i][1]
+                acc_b = acc_b + lnb[i][2]
         dscale_ref[:] += acc_s
         dbias_ref[:] += acc_b
         d_d = [lnb[i][0].astype(dt) for i in R]

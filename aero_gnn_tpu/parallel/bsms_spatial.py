@@ -194,13 +194,15 @@ def bsms_spatial_forward(params, cfg, bg: BSMSSpatialGraph, *,
             x, e = _spatial_layer(lp, layer_cfg, x, e, fine.senders_global,
                                   fine.receivers_local, fine.edge_mask, axis)
             return (x, e), None
-        (x, e), _ = jax.lax.scan(body, (x, e), stacked)
-        return x, e
+        from aero_gnn_tpu.models.mgn import scan_layers
+        return scan_layers(body, (x, e), stacked,
+                           unroll=getattr(cfg, "unroll", False))
 
     def coarse_stack(stacked, x, e, s):
         return run_processor(
             stacked, layer_cfg, x, e, bg.coarse_senders[s],
-            bg.coarse_receivers[s], bg.coarse_edge_mask[s], remat=False)
+            bg.coarse_receivers[s], bg.coarse_edge_mask[s], remat=False,
+            unroll=getattr(cfg, "unroll", False))
 
     # ---- down path ----
     skips = []

@@ -29,6 +29,7 @@ from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from aero_gnn_tpu.graph.padded import _round_up, sort_edges_by_receiver
+from aero_gnn_tpu.models.mgn import scan_layers
 from aero_gnn_tpu.nn import blocks as B
 from aero_gnn_tpu.nn import mlp as M
 from aero_gnn_tpu.parallel.spatial import _morton_order
@@ -347,7 +348,8 @@ def halo_mgn_forward(params, cfg, sg: HaloSpatialGraph, *,
 
     if getattr(cfg, "remat", True):
         body = jax.checkpoint(body)
-    (x, e), _ = jax.lax.scan(body, (x, e), params["layers"])
+    x, e = scan_layers(body, (x, e), params["layers"],
+                       unroll=getattr(cfg, "unroll", False))
     return M.mlp_apply(params["decoder"], x, activation=cfg.activation)
 
 
@@ -428,7 +430,8 @@ def halo_split_mgn_forward(params, cfg, sg: HaloSplitGraph, *,
 
     if getattr(cfg, "remat", True):
         body = jax.checkpoint(body)
-    (x, _, _), _ = jax.lax.scan(body, (x, e_int, e_bnd), params["layers"])
+    x, _, _ = scan_layers(body, (x, e_int, e_bnd), params["layers"],
+                          unroll=getattr(cfg, "unroll", False))
     return M.mlp_apply(params["decoder"], x, activation=cfg.activation)
 
 

@@ -194,7 +194,9 @@ def spatial_mgn_forward(params, cfg, sg_block: SpatialGraph,
 
     if getattr(cfg, "remat", True):
         body = jax.checkpoint(body)
-    (x, e), _ = jax.lax.scan(body, (x, e), params["layers"])
+    from aero_gnn_tpu.models.mgn import scan_layers
+    x, e = scan_layers(body, (x, e), params["layers"],
+                       unroll=getattr(cfg, "unroll", False))
     return M.mlp_apply(params["decoder"], x, activation=cfg.activation)
 
 

@@ -87,6 +87,13 @@ def main():
         remat=(n_nodes > 262144
                if os.environ.get("BENCH_REMAT", "auto") == "auto"
                else os.environ.get("BENCH_REMAT") == "1"))
+    # unrolled per-scale processors (no lax.scan residual stacking; same
+    # rationale/measurements as bench.py: auto = inverse of remat)
+    unroll_env = os.environ.get("BENCH_UNROLL", "auto")
+    base_cfg = dc.replace(
+        base_cfg,
+        unroll=(not base_cfg.remat) if unroll_env == "auto"
+        else unroll_env == "1")
     params = base_cfg.init(jax.random.PRNGKey(0))
     optimizer = make_optimizer(1e-3)
     opt_state = optimizer.init(params)
