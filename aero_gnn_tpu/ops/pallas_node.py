@@ -44,23 +44,54 @@ def _mm(a, b, ta=False, tb=False):
                                preferred_element_type=jnp.float32)
 
 
-def _make_fwd_kernel(n_hidden: int):
+def node_split(blk: int) -> int:
+    """AERO_GNN_NODE_SPLIT=K (default 2): interleaved row groups per node
+    block, same rationale as pallas_fused.bwd_split — the per-block chain
+    is ~4 (fwd) / ~12 (bwd) dependent MXU ops."""
+    import os
+
+    try:
+        k = int(os.environ.get("AERO_GNN_NODE_SPLIT", "2"))
+    except ValueError:
+        k = 2
+    return k if k >= 2 and blk % k == 0 else 1
+
+
+def _row_groups(blk: int):
+    split = node_split(blk)
+    S = blk // split
+
+    def half(a, i):
+        return jax.lax.slice_in_dim(a, i * S, (i + 1) * S, axis=0)
+
+    return range(split), S, half
+
+
+def _make_fwd_kernel(n_hidden: int, blk: int):
     def kernel(x_ref, agg_ref, w1x_ref, w1a_ref, b1_ref, ws_ref, bs_ref,
                wo_ref, bo_ref, scale_ref, bias_ref, out_ref):
-        x = x_ref[:]
-        dt = x.dtype
-        z = jnp.maximum(
-            (_mm(x, w1x_ref[:]) + _mm(agg_ref[:], w1a_ref[:])).astype(dt)
-            + b1_ref[:], 0)
-        for i in range(n_hidden):
-            z = jnp.maximum(_mm(z, ws_ref[i]).astype(dt) + bs_ref[i], 0)
-        d = _mm(z, wo_ref[:]).astype(dt) + bo_ref[:]
-        d32 = d.astype(jnp.float32)
-        mu, var = _ln_stats(d32, d32.shape[-1])
-        ln = (d32 - mu) * jax.lax.rsqrt(var + LN_EPS)
-        ln = ln * scale_ref[:].astype(jnp.float32) \
-            + bias_ref[:].astype(jnp.float32)
-        out_ref[:] = x + ln.astype(dt)
+        x_full = x_ref[:]
+        agg_full = agg_ref[:]
+        dt = x_full.dtype
+        R, S, half = _row_groups(blk)
+        x = [half(x_full, i) for i in R]
+        z = [jnp.maximum(
+            (_mm(x[i], w1x_ref[:])
+             + _mm(half(agg_full, i), w1a_ref[:])).astype(dt)
+            + b1_ref[:], 0) for i in R]
+        for k in range(n_hidden):
+            z = [jnp.maximum(_mm(z[i], ws_ref[k]).astype(dt) + bs_ref[k], 0)
+                 for i in R]
+        d = [_mm(z[i], wo_ref[:]).astype(dt) + bo_ref[:] for i in R]
+        d32 = [d[i].astype(jnp.float32) for i in R]
+        stats = [_ln_stats(d32[i], d32[i].shape[-1]) for i in R]
+        ln = [(d32[i] - stats[i][0])
+              * jax.lax.rsqrt(stats[i][1] + LN_EPS) for i in R]
+        scale32 = scale_ref[:].astype(jnp.float32)
+        bias32 = bias_ref[:].astype(jnp.float32)
+        for i in R:
+            out_ref[i * S:(i + 1) * S] = \
+                x[i] + (ln[i] * scale32 + bias32).astype(dt)
 
     return kernel
 
@@ -110,7 +141,7 @@ def _fused_node_fwd(x, agg, w1x, w1a, b1, ws, bs, w_out, b_out,
     blk, row_spec, const_spec, weight_specs = _specs(n, h, n_hidden)
     ws_in, bs_in = _pack_weights(ws, bs, n_hidden, h, x.dtype)
     return pl.pallas_call(
-        _make_fwd_kernel(n_hidden),
+        _make_fwd_kernel(n_hidden, blk),
         grid=(n // blk,),
         in_specs=[row_spec(), row_spec()] + weight_specs,
         out_specs=row_spec(),
@@ -142,7 +173,7 @@ def _fnl_fwd(x, agg, w1x, w1a, b1, ws, bs, w_out, b_out, ln_scale, ln_bias):
                  ln_scale, ln_bias)
 
 
-def _make_bwd_kernel(n_hidden: int):
+def _make_bwd_kernel(n_hidden: int, blk: int):
     def kernel(x_ref, agg_ref, w1x_ref, w1a_ref, b1_ref, ws_ref, bs_ref,
                wo_ref, bo_ref, scale_ref, bias_ref, ct_ref,
                dx_ref, dagg_ref, dw1x_ref, dw1a_ref, db1_ref,
@@ -161,51 +192,77 @@ def _make_bwd_kernel(n_hidden: int):
             dscale_ref[:] = jnp.zeros_like(dscale_ref)
             dbias_ref[:] = jnp.zeros_like(dbias_ref)
 
-        x = x_ref[:]
-        agg = agg_ref[:]
-        dt = x.dtype
+        x_full = x_ref[:]
+        agg_full = agg_ref[:]
+        ct_full = ct_ref[:]
+        dt = x_full.dtype
+        R, S, half = _row_groups(blk)
+        x = [half(x_full, i) for i in R]
+        agg = [half(agg_full, i) for i in R]
+        ct = [half(ct_full, i) for i in R]
+        scale32 = scale_ref[:].astype(jnp.float32)
 
-        # ---- recompute the dense chain (activations stay in VMEM) ----
-        acts = [jnp.maximum(
-            (_mm(x, w1x_ref[:]) + _mm(agg, w1a_ref[:])).astype(dt)
-            + b1_ref[:], 0)]
+        def accum(ref, parts):
+            acc = parts[0]
+            for p in parts[1:]:
+                acc = acc + p
+            ref[:] += acc
+
+        # ---- recompute the dense chain, stagewise-interleaved ----
+        acts = [[jnp.maximum(
+            (_mm(x[i], w1x_ref[:]) + _mm(agg[i], w1a_ref[:])).astype(dt)
+            + b1_ref[:], 0)] for i in R]
         for k in range(n_hidden):
-            acts.append(jnp.maximum(
-                _mm(acts[-1], ws_ref[k]).astype(dt) + bs_ref[k], 0))
-        d = _mm(acts[-1], wo_ref[:]).astype(dt) + bo_ref[:]
-        d32 = d.astype(jnp.float32)
-        mu, var = _ln_stats(d32, d32.shape[-1])
-        inv = jax.lax.rsqrt(var + LN_EPS)
-        xn = (d32 - mu) * inv
+            zk = [_mm(acts[i][-1], ws_ref[k]).astype(dt) + bs_ref[k]
+                  for i in R]
+            for i in R:
+                acts[i].append(jnp.maximum(zk[i], 0))
+        d = [_mm(acts[i][-1], wo_ref[:]).astype(dt) + bo_ref[:] for i in R]
+        d32 = [d[i].astype(jnp.float32) for i in R]
+        stats = [_ln_stats(d32[i], d32[i].shape[-1]) for i in R]
+        inv = [jax.lax.rsqrt(stats[i][1] + LN_EPS) for i in R]
+        xn = [(d32[i] - stats[i][0]) * inv[i] for i in R]
 
         # ---- LayerNorm backward (f32) ----
-        ct32 = ct_ref[:].astype(jnp.float32)
-        d_d, dscale, dbias = _ln_bwd(
-            ct32, xn, inv, scale_ref[:].astype(jnp.float32))
-        dscale_ref[:] += dscale
-        dbias_ref[:] += dbias
-        d_d = d_d.astype(dt)
+        ct32 = [ct[i].astype(jnp.float32) for i in R]
+        lnb = [_ln_bwd(ct32[i], xn[i], inv[i], scale32) for i in R]
+        accum(dscale_ref, [lnb[i][1] for i in R])
+        accum(dbias_ref, [lnb[i][2] for i in R])
+        d_d = [lnb[i][0].astype(dt) for i in R]
 
         # ---- output linear ----
-        dwo_ref[:] += _mm(acts[-1], d_d, ta=True)
-        dbo_ref[:] += _colsum(d_d)
-        dz = _mm(d_d, wo_ref[:], tb=True).astype(dt)
-        dz = dz * (acts[-1].astype(jnp.float32) > 0).astype(dt)
+        accum(dwo_ref, [_mm(acts[i][-1], d_d[i], ta=True) for i in R])
+        accum(dbo_ref, [_colsum(d_d[i]) for i in R])
+        dz = [_mm(d_d[i], wo_ref[:], tb=True).astype(dt) for i in R]
+        dz = [dz[i] * (acts[i][-1].astype(jnp.float32) > 0).astype(dt)
+              for i in R]
 
         # ---- hidden stack (reverse) ----
         for k in reversed(range(n_hidden)):
-            dws_ref[k] += _mm(acts[k], dz, ta=True)
-            dbs_ref[k] += _colsum(dz)
-            dz = _mm(dz, ws_ref[k], tb=True).astype(dt)
-            dz = dz * (acts[k].astype(jnp.float32) > 0).astype(dt)
+            parts = [_mm(acts[i][k], dz[i], ta=True) for i in R]
+            acc = parts[0]
+            for p in parts[1:]:
+                acc = acc + p
+            dws_ref[k] += acc
+            parts = [_colsum(dz[i]) for i in R]
+            acc = parts[0]
+            for p in parts[1:]:
+                acc = acc + p
+            dbs_ref[k] += acc
+            dz = [_mm(dz[i], ws_ref[k], tb=True).astype(dt) for i in R]
+            dz = [dz[i] * (acts[i][k].astype(jnp.float32) > 0).astype(dt)
+                  for i in R]
 
         # ---- first (split) linear ----
-        dw1x_ref[:] += _mm(x, dz, ta=True)
-        dw1a_ref[:] += _mm(agg, dz, ta=True)
-        db1_ref[:] += _colsum(dz)
+        accum(dw1x_ref, [_mm(x[i], dz[i], ta=True) for i in R])
+        accum(dw1a_ref, [_mm(agg[i], dz[i], ta=True) for i in R])
+        accum(db1_ref, [_colsum(dz[i]) for i in R])
         # residual: ct flows straight through to x as well
-        dx_ref[:] = ct_ref[:] + _mm(dz, w1x_ref[:], tb=True).astype(dt)
-        dagg_ref[:] = _mm(dz, w1a_ref[:], tb=True).astype(dt)
+        for i in R:
+            dx_ref[i * S:(i + 1) * S] = \
+                ct[i] + _mm(dz[i], w1x_ref[:], tb=True).astype(dt)
+            dagg_ref[i * S:(i + 1) * S] = \
+                _mm(dz[i], w1a_ref[:], tb=True).astype(dt)
 
     return kernel
 
@@ -225,7 +282,7 @@ def _fnl_bwd(res, ct):
     ws_in, bs_in = _pack_weights(ws, bs, n_hidden, h, x.dtype)
     nh = max(n_hidden, 1)
     outs = pl.pallas_call(
-        _make_bwd_kernel(n_hidden),
+        _make_bwd_kernel(n_hidden, blk),
         grid=(n // blk,),
         in_specs=[row_spec(), row_spec()] + weight_specs + [row_spec()],
         out_specs=(
