@@ -63,7 +63,8 @@ class HaloSpatialGraph:
 
 
 def _halo_plan(s_new: np.ndarray, owner_s: np.ndarray, owner_r: np.ndarray,
-               n_local: int, num_parts: int, halo_pad_multiple: int):
+               n_local: int, num_parts: int, halo_pad_multiple: int,
+               halo_rows=None):
     """Fully vectorized halo plan (no per-edge Python loops — the previous
     dict-based builder was O(E) Python at 10^6+ edges).
 
@@ -84,6 +85,10 @@ def _halo_plan(s_new: np.ndarray, owner_s: np.ndarray, owner_r: np.ndarray,
     counts = np.diff(np.append(seg_start, len(uk)))
     h_max = int(counts.max()) if len(uk) else 0
     H = max(_round_up(max(h_max, 1), halo_pad_multiple), halo_pad_multiple)
+    if halo_rows is not None:
+        if halo_rows < h_max:
+            raise ValueError(f"halo_rows={halo_rows} < required {h_max}")
+        H = halo_rows
 
     send_idx = np.zeros((num_parts, num_parts, H), dtype=np.int32)
     slot = np.arange(len(uk)) - seg_start[uk_pair]
@@ -121,11 +126,18 @@ def _pack_nodes(order, n_local, num_parts, x, y, dtype):
     return xs, ys, nm
 
 
-def _pack_edge_streams(parts, num_parts, de, pad_multiple, dtype):
+def _pack_edge_streams(parts, num_parts, de, pad_multiple, dtype,
+                       rows=None):
     """Pack per-part (comb, recv_local, edge_attr) triples into padded
-    [P, El, ...] arrays. Pad edges point at slot 0 with mask 0."""
-    el = _round_up(max(max((len(c) for c, _, _ in parts), default=1), 1),
-                   pad_multiple)
+    [P, El, ...] arrays. Pad edges point at slot 0 with mask 0. ``rows``
+    overrides the padded per-part length (for cross-sample shape reuse,
+    e.g. stacking shards along a data axis)."""
+    need = max(max((len(c) for c, _, _ in parts), default=1), 1)
+    el = _round_up(need, pad_multiple)
+    if rows is not None:
+        if rows < need:
+            raise ValueError(f"rows={rows} < required {need}")
+        el = rows
     sc = np.zeros((num_parts, el), dtype=np.int32)
     rl = np.zeros((num_parts, el), dtype=np.int32)
     ea = np.zeros((num_parts, el, de), dtype=dtype)
@@ -241,9 +253,18 @@ def partition_graph_halo_split(
     edges_pad_multiple: int = 128,
     halo_pad_multiple: int = 8,
     dtype=np.float32,
+    halo_rows=None,
+    edges_int_rows=None,
+    edges_bnd_rows=None,
 ) -> HaloSplitGraph:
     """partition_graph_halo with interior/boundary edge streams (see
-    HaloSplitGraph). Fully vectorized (no per-edge Python loops)."""
+    HaloSplitGraph). Fully vectorized (no per-edge Python loops).
+
+    ``halo_rows`` / ``edges_int_rows`` / ``edges_bnd_rows`` override the
+    padded sizes so shards of DIFFERENT samples share one shape (required
+    to stack them along a data axis, parallel.hybrid.stack_halo_split) —
+    the halo-table row encoding bakes H into the boundary sender indices,
+    so the override must be applied at build time."""
     n = x.shape[0]
     order, new_of_old, n_local = _assign_parts(pos, n, num_parts)
     s_new = new_of_old[senders]
@@ -252,7 +273,8 @@ def partition_graph_halo_split(
     owner_r = r_new // n_local
 
     send_idx, H, halo_slot = _halo_plan(
-        s_new, owner_s, owner_r, n_local, num_parts, halo_pad_multiple)
+        s_new, owner_s, owner_r, n_local, num_parts, halo_pad_multiple,
+        halo_rows=halo_rows)
 
     interior = owner_s == owner_r
     parts_int, parts_bnd = [], []
@@ -269,9 +291,11 @@ def partition_graph_halo_split(
                           edge_attr[mb][perm]))
     de = edge_attr.shape[1]
     si, ri, eai, emi = _pack_edge_streams(
-        parts_int, num_parts, de, edges_pad_multiple, dtype)
+        parts_int, num_parts, de, edges_pad_multiple, dtype,
+        rows=edges_int_rows)
     sb, rb, eab, emb = _pack_edge_streams(
-        parts_bnd, num_parts, de, halo_pad_multiple, dtype)
+        parts_bnd, num_parts, de, halo_pad_multiple, dtype,
+        rows=edges_bnd_rows)
 
     xs, ys, nm = _pack_nodes(order, n_local, num_parts, x, y, dtype)
     return HaloSplitGraph(

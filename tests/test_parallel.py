@@ -443,3 +443,73 @@ class TestBSMSSpatial:
             losses.append(float(loss))
         assert np.isfinite(losses).all()
         assert losses[-1] < losses[0]
+
+
+class TestHybrid:
+    def _samples(self, n_data, graph_ax):
+        out = []
+        for d in range(n_data):
+            s = make_random_mesh_sample(n_nodes=32 * graph_ax, seed=20 + d)
+            D.compute_features([s], ["mach", "alpha"])
+            out.append(s)
+        return out
+
+    def test_hybrid_halo_split_train_step_decreases_loss(self):
+        """Flagship multi-chip path: data x graph mesh with the sparse
+        OVERLAPPED halo exchange; shards of different samples are built
+        with unified (H, Ei, Eb) so they stack along the data axis."""
+        from aero_gnn_tpu.parallel import halo as HL
+        from aero_gnn_tpu.parallel import hybrid as HY
+
+        cfg = MGNConfig(**TINY, do_concat_trick=True)
+        params = cfg.init(jax.random.PRNGKey(21))
+        opt = make_optimizer(1e-3)
+        ost = opt.init(params)
+        data_ax, graph_ax = 2, 4
+        mesh = make_mesh(data=data_ax, graph=graph_ax)
+        samples = self._samples(data_ax, graph_ax)
+
+        def part(s, **kw):
+            return HL.partition_graph_halo_split(
+                senders=s.senders, receivers=s.receivers, x=s.x,
+                edge_attr=s.edge_attr, pos=s.pos, y=s.y,
+                num_parts=graph_ax, edges_pad_multiple=32, **kw)
+
+        probe = [part(s) for s in samples]
+        common = dict(
+            halo_rows=max(p.halo_size for p in probe),
+            edges_int_rows=max(p.edge_attr_int.shape[1] for p in probe),
+            edges_bnd_rows=max(p.edge_attr_bnd.shape[1] for p in probe))
+        stacked = HY.stack_halo_split([part(s, **common) for s in samples])
+
+        step = HY.make_hybrid_halo_split_train_step(cfg, opt, mesh)
+        losses = []
+        for _ in range(8):
+            params, ost, loss = step(params, ost, stacked)
+            losses.append(float(loss))
+        assert np.isfinite(losses).all()
+        assert losses[-1] < losses[0]
+
+    def test_halo_split_shape_override_matches_default(self):
+        """Padding overrides must not change the forward result."""
+        from aero_gnn_tpu.parallel import halo as HL
+
+        cfg = MGNConfig(**TINY, do_concat_trick=True)
+        params = cfg.init(jax.random.PRNGKey(22))
+        mesh = make_mesh(data=1, graph=8)
+        s = make_random_mesh_sample(n_nodes=256, seed=23)
+        D.compute_features([s], ["mach", "alpha"])
+
+        def part(**kw):
+            return HL.partition_graph_halo_split(
+                senders=s.senders, receivers=s.receivers, x=s.x,
+                edge_attr=s.edge_attr, pos=s.pos, y=s.y, num_parts=8, **kw)
+
+        base = part()
+        padded_more = part(halo_rows=base.halo_size + 16,
+                           edges_int_rows=base.edge_attr_int.shape[1] + 128,
+                           edges_bnd_rows=base.edge_attr_bnd.shape[1] + 8)
+        fwd = HL.make_halo_split_forward(cfg, mesh)
+        a = np.asarray(fwd(params, base))
+        b = np.asarray(fwd(params, padded_more))
+        np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-5)
