@@ -388,3 +388,121 @@ def test_mgn_separate_decoders(rng):
     out = cfg.apply(params, gb)
     assert out.shape == (gb.num_nodes_pad, 4)
     assert np.isfinite(np.asarray(out)).all()
+
+
+class TestBistrideOracle:
+    """Independent oracle for the bistride BFS 2-coloring: BFS *distances*
+    computed by boolean adjacency-matrix powers (a different algorithm from
+    the production CSR BFS in graph.hierarchy._assign_bistride), plus the
+    BSMS-GNN paper invariants. The in-tree reference only implements the
+    stride stand-in, so this is the external check for bistride mode."""
+
+    @staticmethod
+    def _sample(n, seed):
+        from aero_gnn_tpu.data.synthetic import make_random_mesh_sample
+        return make_random_mesh_sample(n_nodes=n, seed=seed)
+
+    @staticmethod
+    def _oracle_kept(senders, receivers, n):
+        """Kept set = nodes at even BFS distance from the per-component
+        seed (min-degree, lowest index), via matrix powers."""
+        A = np.zeros((n, n), dtype=bool)
+        A[senders, receivers] = True
+        deg = np.bincount(senders, minlength=n)
+        dist = np.full(n, -1, dtype=np.int64)
+        while (dist == -1).any():
+            unv = np.nonzero(dist == -1)[0]
+            seed = unv[np.lexsort((unv, deg[unv]))[0]]
+            reach = np.zeros(n, dtype=bool)
+            reach[seed] = True
+            dist[seed] = 0
+            d = 0
+            while True:
+                nxt = (A[reach].any(axis=0)) & ~reach
+                nxt &= dist == -1
+                if not nxt.any():
+                    break
+                d += 1
+                dist[np.nonzero(nxt)[0]] = d
+                reach |= nxt
+        return np.nonzero(dist % 2 == 0)[0]
+
+    def _assign(self, s, r, n):
+        from aero_gnn_tpu.graph.hierarchy import _assign_bistride
+        return _assign_bistride(np.asarray(s), np.asarray(r),
+                                np.zeros(n, np.int64), n)
+
+    @pytest.mark.parametrize("seed", [0, 1, 2])
+    def test_kept_set_matches_matrix_power_oracle(self, seed):
+        s = self._sample(120, seed)
+        f2c, cng, rep = self._assign(s.senders, s.receivers, 120)
+        kept = np.nonzero(np.asarray(rep) == 1.0)[0]
+        oracle = self._oracle_kept(np.asarray(s.senders),
+                                   np.asarray(s.receivers), 120)
+        np.testing.assert_array_equal(kept, oracle)
+
+    def test_kept_set_on_path_and_cycle(self):
+        # path 0-1-2-...-9: seed = endpoint (deg 1, lowest index 0);
+        # kept = even positions
+        n = 10
+        s = np.concatenate([np.arange(n - 1), np.arange(1, n)])
+        r = np.concatenate([np.arange(1, n), np.arange(n - 1)])
+        _, _, rep = self._assign(s, r, n)
+        np.testing.assert_array_equal(np.nonzero(rep == 1.0)[0],
+                                      np.arange(0, n, 2))
+        # cycle of 8: seed 0, alternating levels around the ring
+        n = 8
+        s = np.concatenate([np.arange(n), (np.arange(n) + 1) % n])
+        r = np.concatenate([(np.arange(n) + 1) % n, np.arange(n)])
+        _, _, rep = self._assign(s, r, n)
+        np.testing.assert_array_equal(np.nonzero(rep == 1.0)[0],
+                                      np.array([0, 2, 4, 6]))
+
+    @pytest.mark.parametrize("seed", [3, 4])
+    def test_paper_invariants(self, seed):
+        """Every dropped node is adjacent to a kept node (its BFS parent),
+        every node maps to a kept node's coarse id, contraction preserves
+        connectivity, and pooling roughly halves the node count."""
+        from aero_gnn_tpu.graph.hierarchy import _coarse_edges
+
+        n = 150
+        smp = self._sample(n, seed)
+        s, r = np.asarray(smp.senders), np.asarray(smp.receivers)
+        f2c, cng, rep = self._assign(s, r, n)
+        kept = np.nonzero(np.asarray(rep) == 1.0)[0]
+        assert 0.25 * n <= len(kept) <= 0.75 * n
+        adj = {v: set() for v in range(n)}
+        for a, b in zip(s, r):
+            adj[int(a)].add(int(b))
+        kept_set = set(kept.tolist())
+        for v in range(n):
+            if v not in kept_set:
+                assert adj[v] & kept_set, f"dropped node {v} has no kept nbr"
+        # every coarse id is a kept node's id
+        assert set(np.asarray(f2c).tolist()) == set(range(len(kept)))
+        # contraction preserves the component structure exactly (random
+        # meshes may be disconnected, so compare component COUNTS)
+        def n_components(edges_s, edges_r, num):
+            nbr = {v: set() for v in range(num)}
+            for a, b in zip(np.asarray(edges_s), np.asarray(edges_r)):
+                nbr[int(a)].add(int(b))
+                nbr[int(b)].add(int(a))
+            seen, comps = set(), 0
+            for v0 in range(num):
+                if v0 in seen:
+                    continue
+                comps += 1
+                frontier = [v0]
+                seen.add(v0)
+                while frontier:
+                    nxt = []
+                    for v in frontier:
+                        for u in nbr[v]:
+                            if u not in seen:
+                                seen.add(u)
+                                nxt.append(u)
+                    frontier = nxt
+            return comps
+
+        cs, cr, _ = _coarse_edges(s, r, np.asarray(f2c), len(kept))
+        assert n_components(cs, cr, len(kept)) == n_components(s, r, n)
