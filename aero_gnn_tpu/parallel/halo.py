@@ -111,11 +111,13 @@ def _assign_parts(pos: np.ndarray, n: int, num_parts: int):
     return order, new_of_old, n_local
 
 
-def _pack_nodes(order, n_local, num_parts, x, y, dtype):
-    xs = np.zeros((num_parts, n_local, x.shape[1]), dtype=dtype)
-    ys = np.zeros((num_parts, n_local,
+def _pack_nodes(order, n_local, num_parts, x, y, dtype, rows=None):
+    rows = n_local if rows is None else rows
+    assert rows >= n_local
+    xs = np.zeros((num_parts, rows, x.shape[1]), dtype=dtype)
+    ys = np.zeros((num_parts, rows,
                    y.shape[1] if y is not None else 1), dtype=dtype)
-    nm = np.zeros((num_parts, n_local), dtype=dtype)
+    nm = np.zeros((num_parts, rows), dtype=dtype)
     for p in range(num_parts):
         chunk = order[p * n_local:(p + 1) * n_local]
         k = len(chunk)
@@ -227,6 +229,12 @@ class HaloSplitGraph:
     send_idx: jax.Array  # i32[P, P, H]
     node_mask: jax.Array  # f32[P, Nl]
     y: jax.Array  # [P, Nl, Dy]
+    # static: interior streams are block-aligned (ALIGN_NODE_BLOCK node
+    # blocks x ALIGN_EDGE_TILE edge tiles per shard) so the fused Pallas
+    # kernels run on the per-shard interior compute. An explicit flag —
+    # divisible shapes alone are unsafe (see CLAUDE.md invariants).
+    aligned: bool = dataclasses.field(default=False,
+                                      metadata=dict(static=True))
 
     @property
     def num_parts(self) -> int:
@@ -239,6 +247,43 @@ class HaloSplitGraph:
     @property
     def halo_size(self) -> int:
         return self.send_idx.shape[2]
+
+
+def _pack_aligned_interior(parts_int, num_parts, de, n_local_pad, dtype,
+                           rows=None):
+    """Block-align each shard's interior edge stream
+    (graph.padded._align_edge_blocks semantics: every ALIGN_NODE_BLOCK node
+    block owns whole ALIGN_EDGE_TILE-edge tiles) and pack shards to one
+    padded length. Tail pad tiles point at the shard's last pad node (the
+    last block), mask 0 — mirroring build_graph_batch, so in-jit
+    derive_tiles stays exact."""
+    from aero_gnn_tpu.graph.padded import (
+        ALIGN_EDGE_TILE, _align_edge_blocks)
+
+    aligned = []
+    for sp, rp, eap in parts_int:
+        s_a, r_a, ea_a, valid, _, _ = _align_edge_blocks(
+            sp.astype(np.int64), rp.astype(np.int64), eap, n_local_pad,
+            dtype)
+        aligned.append((s_a, r_a, ea_a, valid))
+    need = max(len(a[0]) for a in aligned)
+    el = _round_up(need, ALIGN_EDGE_TILE)
+    if rows is not None:
+        if rows < need or rows % ALIGN_EDGE_TILE:
+            raise ValueError(
+                f"edges_int_rows={rows} incompatible with aligned "
+                f"interior length {need} (tile {ALIGN_EDGE_TILE})")
+        el = rows
+    pad_node = n_local_pad - 1
+    si = np.full((num_parts, el), pad_node, dtype=np.int32)
+    ri = np.full((num_parts, el), pad_node, dtype=np.int32)
+    ea = np.zeros((num_parts, el, de), dtype=dtype)
+    em = np.zeros((num_parts, el), dtype=dtype)
+    for s, (sa, ra, ea_, va) in enumerate(aligned):
+        k = len(sa)
+        si[s, :k], ri[s, :k], ea[s, :k] = sa, ra, ea_
+        em[s, :k] = va.astype(dtype)
+    return si, ri, ea, em
 
 
 def partition_graph_halo_split(
@@ -256,6 +301,7 @@ def partition_graph_halo_split(
     halo_rows=None,
     edges_int_rows=None,
     edges_bnd_rows=None,
+    align_interior: bool = False,
 ) -> HaloSplitGraph:
     """partition_graph_halo with interior/boundary edge streams (see
     HaloSplitGraph). Fully vectorized (no per-edge Python loops).
@@ -264,7 +310,13 @@ def partition_graph_halo_split(
     padded sizes so shards of DIFFERENT samples share one shape (required
     to stack them along a data axis, parallel.hybrid.stack_halo_split) —
     the halo-table row encoding bakes H into the boundary sender indices,
-    so the override must be applied at build time."""
+    so the override must be applied at build time.
+
+    ``align_interior=True`` pads each shard's node count to a whole number
+    of ALIGN_NODE_BLOCK blocks and block-aligns the interior edge streams,
+    so the fused Pallas edge/node kernels run on the per-shard interior
+    compute (the dominant cost on a pod) — the boundary stream stays on
+    XLA (O(surface), tiny)."""
     n = x.shape[0]
     order, new_of_old, n_local = _assign_parts(pos, n, num_parts)
     s_new = new_of_old[senders]
@@ -290,14 +342,24 @@ def partition_graph_halo_split(
         parts_bnd.append((hs[perm].astype(np.int32), rb[perm],
                           edge_attr[mb][perm]))
     de = edge_attr.shape[1]
-    si, ri, eai, emi = _pack_edge_streams(
-        parts_int, num_parts, de, edges_pad_multiple, dtype,
-        rows=edges_int_rows)
+    if align_interior:
+        from aero_gnn_tpu.graph.padded import ALIGN_NODE_BLOCK
+
+        n_local_pad = _round_up(n_local + 1, ALIGN_NODE_BLOCK)
+        si, ri, eai, emi = _pack_aligned_interior(
+            parts_int, num_parts, de, n_local_pad, dtype,
+            rows=edges_int_rows)
+    else:
+        n_local_pad = n_local
+        si, ri, eai, emi = _pack_edge_streams(
+            parts_int, num_parts, de, edges_pad_multiple, dtype,
+            rows=edges_int_rows)
     sb, rb, eab, emb = _pack_edge_streams(
         parts_bnd, num_parts, de, halo_pad_multiple, dtype,
         rows=edges_bnd_rows)
 
-    xs, ys, nm = _pack_nodes(order, n_local, num_parts, x, y, dtype)
+    xs, ys, nm = _pack_nodes(order, n_local, num_parts, x, y, dtype,
+                             rows=n_local_pad)
     return HaloSplitGraph(
         x=jnp.asarray(xs),
         edge_attr_int=jnp.asarray(eai), senders_int=jnp.asarray(si),
@@ -305,7 +367,8 @@ def partition_graph_halo_split(
         edge_attr_bnd=jnp.asarray(eab), senders_bnd=jnp.asarray(sb),
         receivers_bnd=jnp.asarray(rb), edge_mask_bnd=jnp.asarray(emb),
         send_idx=jnp.asarray(send_idx),
-        node_mask=jnp.asarray(nm), y=jnp.asarray(ys))
+        node_mask=jnp.asarray(nm), y=jnp.asarray(ys),
+        aligned=align_interior)
 
 
 def _exchange(values: jax.Array, send_idx_local: jax.Array,
@@ -377,13 +440,71 @@ def halo_mgn_forward(params, cfg, sg: HaloSpatialGraph, *,
     return M.mlp_apply(params["decoder"], x, activation=cfg.activation)
 
 
+def _fused_interior_ok(cfg: B.MGNLayerConfig, x, sg: HaloSplitGraph) -> bool:
+    """Gate for running the per-shard interior compute on the fused Pallas
+    kernels (mirrors nn.blocks._fused_layer_ok): requires the partitioner's
+    align_interior layout — divisible shapes alone are unsafe."""
+    from aero_gnn_tpu import ops as _ops
+    from aero_gnn_tpu.ops import pallas_segment as PS
+
+    return (sg.aligned and _ops.backend() == "pallas"
+            and cfg.do_concat_trick
+            and cfg.edge_sum_activation == "relu"
+            and x.shape[0] % PS.NB == 0
+            and sg.receivers_int.shape[-1] % PS.ET == 0)
+
+
 def _halo_split_layer(layer_params, cfg: B.MGNLayerConfig, x, e_int, e_bnd,
                       sg: HaloSplitGraph, axis):
     """One MGN layer with the halo all_to_all overlapped with interior
     compute: the exchange is issued FIRST and only the (small) boundary
     edge chain depends on it — everything between the collective-start and
-    the boundary gather is schedulable under the collective."""
+    the boundary gather is schedulable under the collective. With the
+    align_interior layout the interior edge chain + aggregation runs on the
+    fused Pallas edge kernel (single-chip speed per shard)."""
     n_local = x.shape[0]
+    if _fused_interior_ok(cfg, x, sg):
+        from aero_gnn_tpu.ops.pallas_fused import fused_edge_layer
+
+        p = layer_params["edge"]
+        s_proj = x @ p["w_s"]
+        halo = _exchange(s_proj, sg.send_idx, axis)  # issued early
+        d_proj = x @ p["w_d"] + p["b"]
+        sg_rows = s_proj.at[sg.senders_int].get(mode="promise_in_bounds")
+        h = s_proj.shape[1]
+        ws = (jnp.stack([s["w"] for s in p["stack"][:-1]])
+              if len(p["stack"]) > 1
+              else jnp.zeros((0, h, h), s_proj.dtype))
+        bs = (jnp.stack([s["b"] for s in p["stack"][:-1]])
+              if len(p["stack"]) > 1
+              else jnp.zeros((0, h), s_proj.dtype))
+        e_int, agg = fused_edge_layer(
+            e_int, sg_rows, d_proj, sg.edge_mask_int, sg.receivers_int,
+            p["w_e"], ws, bs, p["stack"][-1]["w"], p["stack"][-1]["b"],
+            p["ln"]["scale"], p["ln"]["bias"], n_local,
+            cfg.edge_sum_activation)
+        # boundary chain (O(surface), XLA) — consumes the halo table
+        h0_b = (e_bnd @ p["w_e"]
+                + halo.at[sg.senders_bnd].get(mode="promise_in_bounds")
+                + d_proj.at[sg.receivers_bnd].get(mode="promise_in_bounds"))
+        e_bnd = e_bnd + B.edge_block_sum_post(p, h0_b, cfg)
+        agg = agg + jax.ops.segment_sum(
+            e_bnd * sg.edge_mask_bnd[:, None], sg.receivers_bnd,
+            num_segments=n_local, indices_are_sorted=True)
+        if cfg.aggregation == "mean":
+            deg = (jax.ops.segment_sum(sg.edge_mask_int, sg.receivers_int,
+                                       num_segments=n_local,
+                                       indices_are_sorted=True)
+                   + jax.ops.segment_sum(sg.edge_mask_bnd, sg.receivers_bnd,
+                                         num_segments=n_local,
+                                         indices_are_sorted=True))
+            agg = agg / jnp.maximum(deg, 1.0)[:, None]
+        elif cfg.aggregation != "add":
+            raise ValueError(
+                f"Unsupported aggregation method: {cfg.aggregation}")
+        # fused node kernel when legal (x + LN(MLP([x, agg])))
+        x = B.node_block_post_residual(layer_params["node"], cfg, x, agg)
+        return x, e_int, e_bnd
     if cfg.do_concat_trick:
         p = layer_params["edge"]
         s_proj = x @ p["w_s"]
