@@ -50,6 +50,12 @@ class MGNConfig:
     # sender gather (~1 [E,h] + 2 [N,h] extra per layer); "full" is classic
     # minimal-memory remat for meshes near the HBM limit.
     remat_policy: str = "save_fused"
+    # Grouped (sqrt-style) remat: checkpoint GROUPS of remat_group layers,
+    # saving only group-boundary (x, e) — O(L/K) boundaries instead of
+    # O(L) per-layer residuals. This is what fits >512k-node meshes in
+    # 16 GB HBM: even "full" per-layer remat stores every layer's [E, h]
+    # carry. 0 = off (per-layer remat_policy applies).
+    remat_group: int = 0
     # Compute dtype for the processor ("float32" | "bfloat16"). The MP stack
     # is HBM-bandwidth-bound ([E,h] activations dominate traffic), so bf16
     # activations+weights nearly double throughput; params stay fp32 (master
@@ -143,6 +149,7 @@ class MGNConfig:
             remat_policy=self.remat_policy,
             aligned=graph.edges_aligned,
             unroll=self.unroll,
+            remat_group=self.remat_group,
         )
         if self.separate_decoders:
             out = jnp.concatenate(
@@ -160,7 +167,7 @@ def run_processor(stacked_layers, layer_cfg: B.MGNLayerConfig,
                   edge_mask: jax.Array, *, sender_perm=None,
                   senders_sorted=None, remat: bool = True,
                   remat_policy: str = "save_fused", aligned: bool = False,
-                  unroll: bool = False):
+                  unroll: bool = False, remat_group: int = 0):
     """Scan the residual MP layer over stacked per-layer params.
 
     ``remat_policy`` (only with ``remat=True``):
@@ -183,6 +190,26 @@ def run_processor(stacked_layers, layer_cfg: B.MGNLayerConfig,
             sender_perm, senders_sorted, aligned)
         return (x, e), None
 
+    if remat and remat_group > 1:
+        num_layers = jax.tree.leaves(stacked_layers)[0].shape[0]
+        if num_layers % remat_group:
+            raise ValueError(
+                f"remat_group={remat_group} must divide the layer count "
+                f"{num_layers}")
+        groups = num_layers // remat_group
+        grouped = jax.tree.map(
+            lambda a: a.reshape((groups, remat_group) + a.shape[1:]),
+            stacked_layers)
+
+        @jax.checkpoint
+        def group_body(carry, group_params):
+            return scan_layers(body, carry, group_params,
+                               unroll=unroll), None
+
+        def outer(carry, gp):
+            return group_body(carry, gp)
+
+        return scan_layers(outer, (x, e), grouped, unroll=unroll)
     if remat:
         if remat_policy == "save_fused":
             policy = jax.checkpoint_policies.save_only_these_names(

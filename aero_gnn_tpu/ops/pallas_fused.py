@@ -48,7 +48,8 @@ from jax.experimental.pallas import tpu as pltpu
 from aero_gnn_tpu.graph.padded import ALIGN_EDGE_TILE, ALIGN_NODE_BLOCK
 from aero_gnn_tpu.nn.mlp import LN_EPS
 from aero_gnn_tpu.ops.pallas_segment import (
-    build_onehot, derive_tiles, onehot_premask_enabled, premask_receivers)
+    build_onehot, build_onehot_t, derive_tiles, onehot_premask_enabled,
+    premask_receivers, recv_rows)
 
 NB = ALIGN_NODE_BLOCK
 ET = ALIGN_EDGE_TILE
@@ -203,17 +204,21 @@ def _make_kernel(n_hidden: int, activation: str, premask: bool,
 
         e = e_ref[:]
 
-        # shared masked one-hot: rows=edges, cols=local node ids
+        # shared one-hot (transposed [NB, ET] row form when premasked —
+        # see pallas_segment.build_onehot_t)
         base = tile_block_ref[t] * NB
-        onehot = build_onehot(
-            recv_ref[:], base, e.dtype,
-            None if mask_ref is None else mask_ref[:])
-
-        # in-kernel receiver gather: [ET, NB] @ [NB, h]
-        dg = jax.lax.dot_general(
-            onehot, dproj_ref[:], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).astype(e.dtype)
+        if premask:
+            onehot_t = build_onehot_t(recv_ref[0], base, e.dtype)
+            dg = jax.lax.dot_general(
+                onehot_t, dproj_ref[:], (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(e.dtype)
+        else:
+            onehot = build_onehot(recv_ref[:], base, e.dtype, mask_ref[:])
+            dg = jax.lax.dot_general(
+                onehot, dproj_ref[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(e.dtype)
 
         h0 = jax.lax.dot_general(
             e, w_e_ref[:], (((1,), (0,)), ((), ())),
@@ -251,10 +256,16 @@ def _make_kernel(n_hidden: int, activation: str, premask: bool,
         e_out_ref[:] = e_new
 
         # masked one-hot aggregation into the resident output block
-        agg_ref[:] += jax.lax.dot_general(
-            onehot, e_new, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).astype(agg_ref.dtype)
+        if premask:
+            agg_ref[:] += jax.lax.dot_general(
+                onehot_t, e_new, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(agg_ref.dtype)
+        else:
+            agg_ref[:] += jax.lax.dot_general(
+                onehot, e_new, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(agg_ref.dtype)
 
     return kernel
 
@@ -294,13 +305,15 @@ def _make_kernel_split(n_hidden: int, activation: str, split: int):
         w_e = w_e_ref[:]
         w_out = w_out_ref[:]
         base = tile_block_ref[t] * NB
-        recv = recv_ref[:]
+        recv = recv_ref[0]  # [1, ET] row layout
         scale32 = ln_scale_ref[:].astype(jnp.float32)
         bias32 = ln_bias_ref[:].astype(jnp.float32)
 
-        onehot = [build_onehot(half(recv, i), base, dt) for i in R]
+        onehot_t = [build_onehot_t(
+            jax.lax.slice_in_dim(recv, i * S, (i + 1) * S, axis=1),
+            base, dt) for i in R]
         e_h = [half(e_full, i) for i in R]
-        dg = [mm(onehot[i], dproj).astype(dt) for i in R]
+        dg = [mm(onehot_t[i], dproj, ta=True).astype(dt) for i in R]
         z = [jnp.maximum(mm(e_h[i], w_e).astype(dt)
                          + half(sg_full, i) + dg[i], 0) for i in R]
         for l in range(n_hidden):
@@ -314,7 +327,7 @@ def _make_kernel_split(n_hidden: int, activation: str, split: int):
         e_new = [e_h[i] + (ln[i] * scale32 + bias32).astype(dt) for i in R]
         for i in R:
             e_out_ref[i * S:(i + 1) * S] = e_new[i]
-        agg_parts = [mm(onehot[i], e_new[i], ta=True) for i in R]
+        agg_parts = [mm(onehot_t[i], e_new[i]) for i in R]
         acc = agg_parts[0]
         for i in R[1:]:
             acc = acc + agg_parts[i]
@@ -332,9 +345,13 @@ def _fused_fwd(e, sg, d_proj, mask, receivers, w_e, ws, bs, w_out, b_out,
     tile_block, tile_first = derive_tiles(receivers)
     premask = onehot_premask_enabled()
     if premask:
-        recv2d = premask_receivers(receivers, mask).reshape(-1, 1)
+        recv2d = recv_rows(premask_receivers(receivers, mask))
+        recv_spec = pl.BlockSpec((1, 1, ET), lambda t, tb, tf: (t, 0, 0),
+                                 memory_space=pltpu.VMEM)
     else:
         recv2d = receivers.reshape(-1, 1)
+        recv_spec = pl.BlockSpec((ET, 1), lambda t, tb, tf: (t, 0),
+                                 memory_space=pltpu.VMEM)
     mask2d = mask.reshape(-1, 1)
 
     def tile_spec():
@@ -377,8 +394,7 @@ def _fused_fwd(e, sg, d_proj, mask, receivers, w_e, ws, bs, w_out, b_out,
         num_scalar_prefetch=2,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((ET, 1), lambda t, tb, tf: (t, 0),
-                         memory_space=pltpu.VMEM),  # recv
+            recv_spec,    # recv ([1, ET] rows when premasked)
             tile_spec(),  # e
             tile_spec(),  # sg
             block_spec(),  # d_proj (node block)
@@ -549,14 +565,27 @@ def _make_bwd_kernel(n_hidden: int, premask: bool):
         e = e_ref[:]
         dt = e.dtype
 
-        # shared masked one-hot (same as forward)
+        # shared one-hot (transposed row form when premasked)
         base = tile_block_ref[t] * NB
-        onehot = build_onehot(
-            recv_ref[:], base, dt,
-            None if mask_ref is None else mask_ref[:])
+        if premask:
+            onehot_t = build_onehot_t(recv_ref[0], base, dt)
+        else:
+            onehot = build_onehot(recv_ref[:], base, dt, mask_ref[:])
+
+        def oh_gather(block):
+            # [ET, h] rows gathered from a [NB, h] block
+            if premask:
+                return mm(onehot_t, block, ta=True)
+            return mm(onehot, block)
+
+        def oh_scatter(rows):
+            # [NB, h] accumulation of [ET, h] rows
+            if premask:
+                return mm(onehot_t, rows)
+            return mm(onehot, rows, ta=True)
 
         # ---- recompute forward chain (activations stay in VMEM) ----
-        dg = mm(onehot, dproj_ref[:]).astype(dt)
+        dg = oh_gather(dproj_ref[:]).astype(dt)
         h0 = mm(e, w_e_ref[:]).astype(dt) + sg_ref[:] + dg
         acts = [jnp.maximum(h0, 0)]
         for i in range(n_hidden):
@@ -569,8 +598,7 @@ def _make_bwd_kernel(n_hidden: int, premask: bool):
         xn = (d32 - mu) * inv
 
         # ---- cotangent of e': direct + through the aggregation ----
-        # gather ct_agg rows for each edge: [ET, NB] @ [NB, h]
-        ct_total = ct_e_ref[:] + mm(onehot, ct_agg_ref[:]).astype(dt)
+        ct_total = ct_e_ref[:] + oh_gather(ct_agg_ref[:]).astype(dt)
 
         # ---- LayerNorm backward (f32) ----
         ct32 = ct_total.astype(jnp.float32)
@@ -599,7 +627,7 @@ def _make_bwd_kernel(n_hidden: int, premask: bool):
         de_out_ref[:] = d_e
         dsg_out_ref[:] = dz
         # d(d_proj): transpose of the masked in-kernel gather
-        ddproj_ref[:] += mm(onehot, dz, ta=True).astype(ddproj_ref.dtype)
+        ddproj_ref[:] += oh_scatter(dz).astype(ddproj_ref.dtype)
 
     return kernel
 
@@ -613,9 +641,13 @@ def _fused_bwd(e, sg, d_proj, mask, receivers, w_e, ws, bs, w_out, b_out,
     tile_block, tile_first = derive_tiles(receivers)
     premask = onehot_premask_enabled()
     if premask:
-        recv2d = premask_receivers(receivers, mask).reshape(-1, 1)
+        recv2d = recv_rows(premask_receivers(receivers, mask))
+        recv_spec = pl.BlockSpec((1, 1, ET), lambda t, tb, tf: (t, 0, 0),
+                                 memory_space=pltpu.VMEM)
     else:
         recv2d = receivers.reshape(-1, 1)
+        recv_spec = pl.BlockSpec((ET, 1), lambda t, tb, tf: (t, 0),
+                                 memory_space=pltpu.VMEM)
     mask2d = mask.reshape(-1, 1)
 
     def tile_spec():
@@ -640,8 +672,7 @@ def _fused_bwd(e, sg, d_proj, mask, receivers, w_e, ws, bs, w_out, b_out,
         num_scalar_prefetch=2,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((ET, 1), lambda t, tb, tf: (t, 0),
-                         memory_space=pltpu.VMEM),  # recv
+            recv_spec,                   # recv ([1, ET] rows when premasked)
             tile_spec(), tile_spec(),    # e, sg
             block_spec(),                # d_proj (node block)
             *mask_specs,                 # mask (legacy mode only)
@@ -778,13 +809,15 @@ def _make_bwd_kernel_split(n_hidden: int, split: int):
         w_out = w_out_ref[:]
         scale32 = ln_scale_ref[:].astype(jnp.float32)
         base = tile_block_ref[t] * NB
-        recv = recv_ref[:]
+        recv = recv_ref[0]  # [1, ET] row layout
 
-        onehot = [build_onehot(half(recv, i), base, dt) for i in R]
+        onehot_t = [build_onehot_t(
+            jax.lax.slice_in_dim(recv, i * S, (i + 1) * S, axis=1),
+            base, dt) for i in R]
         e_h = [half(e_full, i) for i in R]
 
         # ---- recompute forward chain, stagewise-interleaved ----
-        dg = [mm(onehot[i], dproj).astype(dt) for i in R]
+        dg = [mm(onehot_t[i], dproj, ta=True).astype(dt) for i in R]
         h0 = [mm(e_h[i], w_e).astype(dt) + half(sg_full, i) + dg[i]
               for i in R]
         acts = [[jnp.maximum(h0[i], 0)] for i in R]
@@ -800,7 +833,8 @@ def _make_bwd_kernel_split(n_hidden: int, split: int):
         xn = [(d32[i] - stats[i][0]) * inv[i] for i in R]
 
         # ---- cotangents ----
-        ct_tot = [half(ct_e_full, i) + mm(onehot[i], ct_agg).astype(dt)
+        ct_tot = [half(ct_e_full, i) + mm(onehot_t[i], ct_agg,
+                                          ta=True).astype(dt)
                   for i in R]
         ct32 = [ct_tot[i].astype(jnp.float32) for i in R]
         if ln_mxu_mode() == "2":
@@ -870,7 +904,7 @@ def _make_bwd_kernel_split(n_hidden: int, split: int):
         for i in R:
             de_out_ref[i * S:(i + 1) * S] = d_e[i]
             dsg_out_ref[i * S:(i + 1) * S] = dz[i]
-        ddp_parts = [mm(onehot[i], dz[i], ta=True) for i in R]
+        ddp_parts = [mm(onehot_t[i], dz[i]) for i in R]
         acc = ddp_parts[0]
         for i in R[1:]:
             acc = acc + ddp_parts[i]
@@ -922,14 +956,15 @@ def _make_bwd_kernel_saved(n_hidden: int):
         dt = e.dtype
 
         base = tile_block_ref[t] * NB
-        onehot = build_onehot(recv_ref[:], base, dt)
+        onehot_t = build_onehot_t(recv_ref[0], base, dt)
 
         # xn recomputed exactly: d is the forward's bf16 value, mu/inv the
         # forward's f32 stats
         inv = inv_ref[:]
         xn = (d_ref[:].astype(jnp.float32) - mu_ref[:]) * inv
 
-        ct_total = ct_e_ref[:] + mm(onehot, ct_agg_ref[:]).astype(dt)
+        ct_total = ct_e_ref[:] + mm(onehot_t, ct_agg_ref[:],
+                                    ta=True).astype(dt)
         ct32 = ct_total.astype(jnp.float32)
         d_d, dscale, dbias = _ln_bwd(
             ct32, xn, inv, ln_scale_ref[:].astype(jnp.float32))
@@ -953,7 +988,7 @@ def _make_bwd_kernel_saved(n_hidden: int):
         dwe_ref[:] += mm(e, dz, ta=True)
         de_out_ref[:] = ct_total + mm(dz, w_e_ref[:], tb=True).astype(dt)
         dsg_out_ref[:] = dz
-        ddproj_ref[:] += mm(onehot, dz, ta=True).astype(ddproj_ref.dtype)
+        ddproj_ref[:] += mm(onehot_t, dz).astype(ddproj_ref.dtype)
 
     return kernel
 
@@ -967,7 +1002,7 @@ def _fused_bwd_saved(e, mask, receivers, w_e, ws, w_out, ln_scale, saved,
     h = e.shape[1]
     n_hidden = ws.shape[0]
     tile_block, tile_first = derive_tiles(receivers)
-    recv2d = premask_receivers(receivers, mask).reshape(-1, 1)
+    recv2d = recv_rows(premask_receivers(receivers, mask))
 
     def tile_spec():
         return pl.BlockSpec((ET, h), lambda t, tb, tf: (t, 0),
@@ -992,7 +1027,8 @@ def _fused_bwd_saved(e, mask, receivers, w_e, ws, w_out, ln_scale, saved,
         num_scalar_prefetch=2,
         grid=(n_tiles,),
         in_specs=[
-            col_spec(),                  # recv (premasked)
+            pl.BlockSpec((1, 1, ET), lambda t, tb, tf: (t, 0, 0),
+                         memory_space=pltpu.VMEM),  # recv rows (premasked)
             tile_spec(),                 # e
             pl.BlockSpec((nh1, ET, h), lambda t, tb, tf: (0, t, 0),
                          memory_space=pltpu.VMEM),  # zs

@@ -78,6 +78,31 @@ def build_onehot(recv_tile, base, dtype, mask_tile=None):
     return eq.astype(dtype)
 
 
+def build_onehot_t(recv_row, base, dtype):
+    """TRANSPOSED one-hot [NB, edges] from a ROW-layout receiver tile
+    ``recv_row`` [1, edges] (premasked: pad edges -> -1).
+
+    Why rows: an [E, 1] int32 operand is stored T(8,128)-tiled in HBM —
+    128x padding — so every [ET, 1] block DMA moves ET*128*4 bytes (512 KB
+    at ET=1024, ~2x the actual bf16 edge-tile traffic) and the buffer
+    itself is 128x oversized (2 GB at 4M edges). A [n_tiles, ET] row
+    layout stores the same data exactly and the transposed one-hot keeps
+    every compare lane-aligned, with the consuming matmuls just flipping
+    their contraction dims (MXU handles both)."""
+    edges = recv_row.shape[1]
+    local = recv_row - base  # [1, edges]
+    rows_iota = jax.lax.broadcasted_iota(jnp.int32, (NB, edges), 0)
+    eq = jnp.where(local == rows_iota, 1.0, 0.0)
+    return eq.astype(dtype)
+
+
+def recv_rows(receivers_premasked: jax.Array) -> jax.Array:
+    """[E] premasked receivers -> [n_tiles, 1, ET] row layout (see
+    build_onehot_t; the singleton sublane dim satisfies the TPU lowering's
+    block-shape rule — sublane block == array dim)."""
+    return receivers_premasked.reshape(-1, 1, ET)
+
+
 def _agg_kernel(tile_block_ref, tile_first_ref, recv_ref, msgs_ref,
                 mask_ref, out_ref):
     t = pl.program_id(0)
@@ -105,10 +130,10 @@ def _agg_kernel_premask(tile_block_ref, tile_first_ref, recv_ref, msgs_ref,
         out_ref[:] = jnp.zeros_like(out_ref)
 
     base = tile_block_ref[t] * NB
-    onehot = build_onehot(recv_ref[:], base, msgs_ref.dtype)
+    onehot_t = build_onehot_t(recv_ref[0], base, msgs_ref.dtype)
     out_ref[:] += jax.lax.dot_general(
-        onehot, msgs_ref[:],
-        dimension_numbers=(((0,), (0,)), ((), ())),
+        onehot_t, msgs_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ).astype(out_ref.dtype)
 
@@ -122,14 +147,17 @@ def _segment_sum_fwd_pallas(messages, receivers, mask, tile_block,
     h = messages.shape[1]
     premask = onehot_premask_enabled()
     if premask:
-        recv2d = premask_receivers(receivers, mask).reshape(-1, 1)
+        recv2d = recv_rows(premask_receivers(receivers, mask))
+        recv_spec = pl.BlockSpec((1, 1, ET), lambda t, tb, tf: (t, 0, 0),
+                                 memory_space=pltpu.VMEM)
     else:
         recv2d = receivers.reshape(-1, 1)
+        recv_spec = pl.BlockSpec((ET, 1), lambda t, tb, tf: (t, 0),
+                                 memory_space=pltpu.VMEM)
     mask2d = mask.reshape(-1, 1)
 
     in_specs = [
-        pl.BlockSpec((ET, 1), lambda t, tb, tf: (t, 0),
-                     memory_space=pltpu.VMEM),
+        recv_spec,
         pl.BlockSpec((ET, h), lambda t, tb, tf: (t, 0),
                      memory_space=pltpu.VMEM),
     ]
@@ -184,13 +212,13 @@ _segment_sum_pallas.defvjp(_ssp_fwd, _ssp_bwd)
 
 def _gather_kernel(tile_block_ref, recv_ref, nodes_ref, out_ref):
     """Block-aligned row gather: out[e] = nodes[recv[e]] via a one-hot MXU
-    matmul [ET, NB] @ [NB, h] (the transpose of the aggregation kernel)."""
+    matmul (transposed-one-hot form, see build_onehot_t)."""
     t = pl.program_id(0)
     base = tile_block_ref[t] * NB
-    onehot = build_onehot(recv_ref[:], base, nodes_ref.dtype)
+    onehot_t = build_onehot_t(recv_ref[0], base, nodes_ref.dtype)
     out_ref[:] = jax.lax.dot_general(
-        onehot, nodes_ref[:],
-        dimension_numbers=(((1,), (0,)), ((), ())),
+        onehot_t, nodes_ref[:],
+        dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ).astype(out_ref.dtype)
 
@@ -198,12 +226,12 @@ def _gather_kernel(tile_block_ref, recv_ref, nodes_ref, out_ref):
 def _gather_fwd_pallas(nodes, receivers, tile_block):
     n_tiles = tile_block.shape[0]
     h = nodes.shape[1]
-    recv2d = receivers.reshape(-1, 1)
+    recv2d = recv_rows(receivers)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,  # tile_block
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((ET, 1), lambda t, tb: (t, 0),
+            pl.BlockSpec((1, 1, ET), lambda t, tb: (t, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((NB, h), lambda t, tb: (tb[t], 0),
                          memory_space=pltpu.VMEM),

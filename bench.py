@@ -135,10 +135,16 @@ def main():
     # recomputes instead of stacking, and compile time matters more.
     unroll_env = os.environ.get("BENCH_UNROLL", "auto")
     unroll = (not remat) if unroll_env == "auto" else unroll_env == "1"
-    log(f"per-layer remat: {remat} ({remat_env}), unroll: {unroll}")
+    # grouped (sqrt) remat: at >512k nodes even per-layer remat stores an
+    # [E, h] carry per layer (1 GB each at 1M) — checkpoint groups of K
+    # layers instead, saving only group boundaries
+    remat_group = int(os.environ.get("BENCH_REMAT_GROUP", "5")) \
+        if remat and n_nodes > 262144 else 0
+    log(f"per-layer remat: {remat} ({remat_env}), unroll: {unroll}, "
+        f"remat_group: {remat_group}")
 
     def build(do_concat_trick, compute_dtype="float32", remat=remat,
-              unroll=unroll):
+              unroll=unroll, remat_group=remat_group):
         cfg = MGNConfig(
             input_node_dim=6, input_edge_dim=3, output_node_dim=4,
             processor_size=15, hidden_dim_processor=128,
@@ -150,7 +156,8 @@ def main():
             num_hidden_layers_edge_encoder=2,
             num_hidden_layers_decoder=2,
             aggregation="add", do_concat_trick=do_concat_trick,
-            compute_dtype=compute_dtype, remat=remat, unroll=unroll)
+            compute_dtype=compute_dtype, remat=remat, unroll=unroll,
+            remat_group=remat_group)
         params = cfg.init(jax.random.PRNGKey(0))
         optimizer = make_optimizer(1e-3)
         opt_state = optimizer.init(params)
@@ -199,7 +206,7 @@ def main():
             # activations blow HBM without it (and 367 ms/step was measured
             # with remat on — keeping it keeps vs_baseline comparable)
             p0, o0, step0, _ = build(do_concat_trick=False, remat=True,
-                                     unroll=False)
+                                     unroll=False, remat_group=0)
             t_base = time_scan_fn(step0, (p0, o0, graph_base), rtt,
                                   iters=ITERS)
         log(f"baseline (full-concat EdgeBlock, XLA): {t_base*1e3:.2f} "

@@ -506,3 +506,59 @@ class TestBistrideOracle:
 
         cs, cr, _ = _coarse_edges(s, r, np.asarray(f2c), len(kept))
         assert n_components(cs, cr, len(kept)) == n_components(s, r, n)
+
+
+class TestRematVariants:
+    """Gradient equivalence of the remat structures: per-layer (save_fused
+    and full policies), grouped (sqrt-style, remat_group), and unrolled
+    variants must all produce the no-remat gradients."""
+
+    def _graph(self):
+        rng = np.random.default_rng(0)
+        n = 100
+        s = np.arange(n, dtype=np.int32)
+        r = (s + 1) % n
+        senders = np.concatenate([s, r])
+        receivers = np.concatenate([r, s])
+        return padded.build_graph_batch(
+            senders=senders, receivers=receivers,
+            x=rng.standard_normal((n, 6)).astype(np.float32),
+            edge_attr=rng.standard_normal((2 * n, 3)).astype(np.float32),
+            pos=rng.standard_normal((n, 2)).astype(np.float32),
+            y=rng.standard_normal((n, 4)).astype(np.float32))
+
+    def _grads(self, gb, **cfg_kw):
+        cfg = MGNConfig(
+            input_node_dim=6, input_edge_dim=3, output_node_dim=4,
+            processor_size=6, hidden_dim_processor=16,
+            hidden_dim_node_encoder=16, hidden_dim_edge_encoder=16,
+            hidden_dim_decoder=16, do_concat_trick=True,
+            aggregation="add", **cfg_kw)
+        params = cfg.init(jax.random.PRNGKey(0))
+
+        def loss_fn(p):
+            pred = cfg.apply(p, gb)
+            m = gb.node_mask[:, None]
+            return jnp.sum(jnp.square(pred - gb.y) * m) / jnp.sum(m)
+
+        return jax.grad(loss_fn)(params)
+
+    @pytest.mark.parametrize("kw", [
+        dict(remat=True, remat_policy="save_fused"),
+        dict(remat=True, remat_policy="full"),
+        dict(remat=True, remat_group=3),
+        dict(remat=True, remat_group=2, unroll=True),
+        dict(remat=False, unroll=True),
+    ])
+    def test_grads_match_no_remat(self, kw):
+        gb = self._graph()
+        g0 = self._grads(gb, remat=False)
+        g1 = self._grads(gb, **kw)
+        diffs = jax.tree.map(
+            lambda a, b: float(jnp.abs(a - b).max()), g0, g1)
+        assert max(jax.tree.leaves(diffs)) < 1e-5
+
+    def test_remat_group_must_divide_layers(self):
+        gb = self._graph()
+        with pytest.raises(ValueError, match="remat_group"):
+            self._grads(gb, remat=True, remat_group=4)
