@@ -131,14 +131,24 @@ class MGNConfig:
     def apply(self, params, graph: GraphBatch, *,
               rng: Optional[jax.Array] = None) -> jax.Array:
         params = cast_params(params, self.compute_dtype)
-        x = M.mlp_apply(params["node_encoder"],
-                        _cast(graph.x, self.compute_dtype),
-                        activation=self.activation, dropout=self.dropout,
-                        rng=_sub(rng, 0))
-        e = M.mlp_apply(params["edge_encoder"],
-                        _cast(graph.edge_attr, self.compute_dtype),
-                        activation=self.activation, dropout=self.dropout,
-                        rng=_sub(rng, 1))
+
+        def node_enc(p, a):
+            return M.mlp_apply(p, a, activation=self.activation,
+                               dropout=self.dropout, rng=_sub(rng, 0))
+
+        def edge_enc(p, a):
+            return M.mlp_apply(p, a, activation=self.activation,
+                               dropout=self.dropout, rng=_sub(rng, 1))
+
+        if self.remat and self.remat_group > 1:
+            # near the HBM limit the ENCODER MLPs' [E, h] intermediates
+            # (saved for their backward) are GBs too — recompute them
+            node_enc = jax.checkpoint(node_enc)
+            edge_enc = jax.checkpoint(edge_enc)
+        x = node_enc(params["node_encoder"],
+                     _cast(graph.x, self.compute_dtype))
+        e = edge_enc(params["edge_encoder"],
+                     _cast(graph.edge_attr, self.compute_dtype))
         x, e = run_processor(
             params["layers"], self.layer_cfg, x, e,
             graph.senders, graph.receivers,
@@ -200,10 +210,15 @@ def run_processor(stacked_layers, layer_cfg: B.MGNLayerConfig,
         grouped = jax.tree.map(
             lambda a: a.reshape((groups, remat_group) + a.shape[1:]),
             stacked_layers)
+        # two-level remat: the outer checkpoint saves only group-boundary
+        # (x, e); the INNER per-layer checkpoint matters too — without it,
+        # the group's backward holds every member layer's fused-VJP
+        # residuals (sg/d_proj, ~2.3 [E,h] each) simultaneously
+        inner = jax.checkpoint(body)
 
         @jax.checkpoint
         def group_body(carry, group_params):
-            return scan_layers(body, carry, group_params,
+            return scan_layers(inner, carry, group_params,
                                unroll=unroll), None
 
         def outer(carry, gp):
