@@ -270,6 +270,17 @@ def _make_kernel(n_hidden: int, activation: str, premask: bool,
     return kernel
 
 
+
+def mm_native_out() -> bool:
+    """AERO_GNN_MM_NATIVE=1: chain matmuls emit their compute dtype via
+    preferred_element_type instead of an explicit f32->bf16 cast op
+    (accumulator matmuls stay f32). Probes whether Mosaic folds the round
+    into the MXU epilogue."""
+    import os
+
+    return os.environ.get("AERO_GNN_MM_NATIVE", "0") == "1"
+
+
 def _make_kernel_split(n_hidden: int, activation: str, split: int):
     """Premask-only forward with ``split`` interleaved row groups per tile
     (see fwd_split)."""
@@ -300,6 +311,14 @@ def _make_kernel_split(n_hidden: int, activation: str, split: int):
 
         e_full = e_ref[:]
         dt = e_full.dtype
+
+        def mmd(a, b, ta=False):
+            # chain matmul: output already in the compute dtype
+            if mm_native_out():
+                dims = ((((0,) if ta else (1,)), ((0,))), ((), ()))
+                return jax.lax.dot_general(a, b, dims,
+                                           preferred_element_type=dt)
+            return mm(a, b, ta=ta).astype(dt)
         sg_full = sg_ref[:]
         dproj = dproj_ref[:]
         w_e = w_e_ref[:]
@@ -313,13 +332,13 @@ def _make_kernel_split(n_hidden: int, activation: str, split: int):
             jax.lax.slice_in_dim(recv, i * S, (i + 1) * S, axis=1),
             base, dt) for i in R]
         e_h = [half(e_full, i) for i in R]
-        dg = [mm(onehot_t[i], dproj, ta=True).astype(dt) for i in R]
-        z = [jnp.maximum(mm(e_h[i], w_e).astype(dt)
+        dg = [mmd(onehot_t[i], dproj, ta=True) for i in R]
+        z = [jnp.maximum(mmd(e_h[i], w_e)
                          + half(sg_full, i) + dg[i], 0) for i in R]
         for l in range(n_hidden):
-            z = [jnp.maximum(mm(z[i], ws_ref[l]).astype(dt) + bs_ref[l], 0)
+            z = [jnp.maximum(mmd(z[i], ws_ref[l]) + bs_ref[l], 0)
                  for i in R]
-        de = [mm(z[i], w_out).astype(dt) + b_out_ref[:] for i in R]
+        de = [mmd(z[i], w_out) + b_out_ref[:] for i in R]
         d32 = [de[i].astype(jnp.float32) for i in R]
         stats = [_ln_stats(d32[i], d32[i].shape[-1]) for i in R]
         ln = [(d32[i] - stats[i][0])
@@ -801,6 +820,15 @@ def _make_bwd_kernel_split(n_hidden: int, split: int):
 
         e_full = e_ref[:]
         dt = e_full.dtype
+
+        def mmd(a, b, ta=False, tb=False):
+            # chain matmul: output already in the compute dtype
+            if mm_native_out():
+                dims = ((((0,) if ta else (1,)), ((1,) if tb else (0,))),
+                        ((), ()))
+                return jax.lax.dot_general(a, b, dims,
+                                           preferred_element_type=dt)
+            return mm(a, b, ta=ta, tb=tb).astype(dt)
         sg_full = sg_ref[:]
         ct_e_full = ct_e_ref[:]
         dproj = dproj_ref[:]
@@ -817,24 +845,23 @@ def _make_bwd_kernel_split(n_hidden: int, split: int):
         e_h = [half(e_full, i) for i in R]
 
         # ---- recompute forward chain, stagewise-interleaved ----
-        dg = [mm(onehot_t[i], dproj, ta=True).astype(dt) for i in R]
-        h0 = [mm(e_h[i], w_e).astype(dt) + half(sg_full, i) + dg[i]
+        dg = [mmd(onehot_t[i], dproj, ta=True) for i in R]
+        h0 = [mmd(e_h[i], w_e) + half(sg_full, i) + dg[i]
               for i in R]
         acts = [[jnp.maximum(h0[i], 0)] for i in R]
         for l in range(n_hidden):
-            zi = [mm(acts[i][-1], ws_ref[l]).astype(dt) + bs_ref[l]
+            zi = [mmd(acts[i][-1], ws_ref[l]) + bs_ref[l]
                   for i in R]
             for i in R:
                 acts[i].append(jnp.maximum(zi[i], 0))
-        d = [mm(acts[i][-1], w_out).astype(dt) + b_out_ref[:] for i in R]
+        d = [mmd(acts[i][-1], w_out) + b_out_ref[:] for i in R]
         d32 = [d[i].astype(jnp.float32) for i in R]
         stats = [_ln_stats(d32[i], d32[i].shape[-1]) for i in R]
         inv = [jax.lax.rsqrt(stats[i][1] + LN_EPS) for i in R]
         xn = [(d32[i] - stats[i][0]) * inv[i] for i in R]
 
         # ---- cotangents ----
-        ct_tot = [half(ct_e_full, i) + mm(onehot_t[i], ct_agg,
-                                          ta=True).astype(dt)
+        ct_tot = [half(ct_e_full, i) + mmd(onehot_t[i], ct_agg, ta=True)
                   for i in R]
         ct32 = [ct_tot[i].astype(jnp.float32) for i in R]
         if ln_mxu_mode() == "2":
@@ -879,7 +906,7 @@ def _make_bwd_kernel_split(n_hidden: int, split: int):
         for i in R[1:]:
             dbo_acc = dbo_acc + _colsum(d_d[i])
         dbo_ref[:] += dbo_acc
-        dz = [mm(d_d[i], w_out, tb=True).astype(dt) for i in R]
+        dz = [mmd(d_d[i], w_out, tb=True) for i in R]
         dz = [_relu_mask(dz[i], acts[i][-1], dt) for i in R]
 
         for l in reversed(range(n_hidden)):
@@ -892,7 +919,7 @@ def _make_bwd_kernel_split(n_hidden: int, split: int):
             for i in R[1:]:
                 acc = acc + _colsum(dz[i])
             dbs_ref[l] += acc
-            dz = [mm(dz[i], ws_ref[l], tb=True).astype(dt) for i in R]
+            dz = [mmd(dz[i], ws_ref[l], tb=True) for i in R]
             dz = [_relu_mask(dz[i], acts[i][l], dt) for i in R]
 
         dwe_parts = [mm(e_h[i], dz[i], ta=True) for i in R]
@@ -900,7 +927,7 @@ def _make_bwd_kernel_split(n_hidden: int, split: int):
         for i in R[1:]:
             acc = acc + dwe_parts[i]
         dwe_ref[:] += acc
-        d_e = [ct_tot[i] + mm(dz[i], w_e, tb=True).astype(dt) for i in R]
+        d_e = [ct_tot[i] + mmd(dz[i], w_e, tb=True) for i in R]
         for i in R:
             de_out_ref[i * S:(i + 1) * S] = d_e[i]
             dsg_out_ref[i * S:(i + 1) * S] = dz[i]
