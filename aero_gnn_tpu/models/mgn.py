@@ -221,10 +221,7 @@ def run_processor(stacked_layers, layer_cfg: B.MGNLayerConfig,
             return scan_layers(inner, carry, group_params,
                                unroll=unroll), None
 
-        def outer(carry, gp):
-            return group_body(carry, gp)
-
-        return scan_layers(outer, (x, e), grouped, unroll=unroll)
+        return scan_layers(group_body, (x, e), grouped, unroll=unroll)
     if remat:
         if remat_policy == "save_fused":
             policy = jax.checkpoint_policies.save_only_these_names(

@@ -371,7 +371,7 @@ def _fused_fwd(e, sg, d_proj, mask, receivers, w_e, ws, bs, w_out, b_out,
         recv2d = receivers.reshape(-1, 1)
         recv_spec = pl.BlockSpec((ET, 1), lambda t, tb, tf: (t, 0),
                                  memory_space=pltpu.VMEM)
-    mask2d = mask.reshape(-1, 1)
+    mask2d = None if premask else mask.reshape(-1, 1)
 
     def tile_spec():
         return pl.BlockSpec((ET, h), lambda t, tb, tf: (t, 0),
@@ -667,7 +667,7 @@ def _fused_bwd(e, sg, d_proj, mask, receivers, w_e, ws, bs, w_out, b_out,
         recv2d = receivers.reshape(-1, 1)
         recv_spec = pl.BlockSpec((ET, 1), lambda t, tb, tf: (t, 0),
                                  memory_space=pltpu.VMEM)
-    mask2d = mask.reshape(-1, 1)
+    mask2d = None if premask else mask.reshape(-1, 1)
 
     def tile_spec():
         return pl.BlockSpec((ET, h), lambda t, tb, tf: (t, 0),

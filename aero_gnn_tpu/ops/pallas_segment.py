@@ -154,7 +154,6 @@ def _segment_sum_fwd_pallas(messages, receivers, mask, tile_block,
         recv2d = receivers.reshape(-1, 1)
         recv_spec = pl.BlockSpec((ET, 1), lambda t, tb, tf: (t, 0),
                                  memory_space=pltpu.VMEM)
-    mask2d = mask.reshape(-1, 1)
 
     in_specs = [
         recv_spec,
@@ -165,7 +164,7 @@ def _segment_sum_fwd_pallas(messages, receivers, mask, tile_block,
     if not premask:
         in_specs.append(pl.BlockSpec((ET, 1), lambda t, tb, tf: (t, 0),
                                      memory_space=pltpu.VMEM))
-        operands.append(mask2d)
+        operands.append(mask.reshape(-1, 1))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,  # tile_block, tile_first
         grid=(n_tiles,),

@@ -273,11 +273,20 @@ def make_bsms_spatial_forward(model_cfg, mesh: Mesh, *,
             coarse_e2c=jax.tree.map(lambda _: P(), bg.coarse_e2c),
         )
 
+    # jit caches by FUNCTION IDENTITY: building a fresh shard_map closure
+    # per call would retrace/recompile every step (40-120 s per compile on
+    # the relayed TPU). Cache the jitted program per pytree structure (the
+    # in_specs depend only on the number of coarse levels).
+    cache = {}
+
     def run(params, bg):
-        fwd = shard_map(per_shard, mesh=mesh,
-                        in_specs=(P(), in_spec_for(bg)),
-                        out_specs=P(axis), check_vma=False)
-        return jax.jit(fwd)(params, bg)
+        key = jax.tree.structure(bg)
+        if key not in cache:
+            fwd = shard_map(per_shard, mesh=mesh,
+                            in_specs=(P(), in_spec_for(bg)),
+                            out_specs=P(axis), check_vma=False)
+            cache[key] = jax.jit(fwd)
+        return cache[key](params, bg)
 
     return run
 
@@ -321,11 +330,19 @@ def make_bsms_spatial_train_step(model_cfg, optimizer, mesh: Mesh, *,
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 
+    # see make_bsms_spatial_forward: cache the jitted program per pytree
+    # structure instead of retracing every call; donate params/opt_state
+    # like the sibling step factories
+    cache = {}
+
     def run(params, opt_state, bg):
-        step = shard_map(per_shard, mesh=mesh,
-                         in_specs=(P(), P(), _bsms_in_spec(bg, axis)),
-                         out_specs=(P(), P(), P()),
-                         check_vma=False)
-        return jax.jit(step)(params, opt_state, bg)
+        key = jax.tree.structure(bg)
+        if key not in cache:
+            step = shard_map(per_shard, mesh=mesh,
+                             in_specs=(P(), P(), _bsms_in_spec(bg, axis)),
+                             out_specs=(P(), P(), P()),
+                             check_vma=False)
+            cache[key] = jax.jit(step, donate_argnums=(0, 1))
+        return cache[key](params, opt_state, bg)
 
     return run

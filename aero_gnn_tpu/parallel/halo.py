@@ -129,19 +129,25 @@ def _pack_nodes(order, n_local, num_parts, x, y, dtype, rows=None):
 
 
 def _pack_edge_streams(parts, num_parts, de, pad_multiple, dtype,
-                       rows=None):
-    """Pack per-part (comb, recv_local, edge_attr) triples into padded
-    [P, El, ...] arrays. Pad edges point at slot 0 with mask 0. ``rows``
-    overrides the padded per-part length (for cross-sample shape reuse,
-    e.g. stacking shards along a data axis)."""
+                       rows=None, *, pad_sender=0, pad_receiver=0):
+    """Pack per-part (sender, recv_local, edge_attr) triples into padded
+    [P, El, ...] arrays (mask 0 on pad slots). ``rows`` overrides the
+    padded per-part length (for cross-sample shape reuse, e.g. stacking
+    shards along a data axis).
+
+    Pad receivers default to the LAST local row (``pad_receiver``), not 0:
+    real rows are receiver-ascending, so the stream stays SORTED and the
+    downstream segment_sum(indices_are_sorted=True) hint holds (CLAUDE.md
+    invariant; pads contribute exact zeros either way). ``pad_sender`` is
+    any in-bounds row of the stream's sender table."""
     need = max(max((len(c) for c, _, _ in parts), default=1), 1)
     el = _round_up(need, pad_multiple)
     if rows is not None:
         if rows < need:
             raise ValueError(f"rows={rows} < required {need}")
         el = rows
-    sc = np.zeros((num_parts, el), dtype=np.int32)
-    rl = np.zeros((num_parts, el), dtype=np.int32)
+    sc = np.full((num_parts, el), pad_sender, dtype=np.int32)
+    rl = np.full((num_parts, el), pad_receiver, dtype=np.int32)
     ea = np.zeros((num_parts, el, de), dtype=dtype)
     em = np.zeros((num_parts, el), dtype=dtype)
     for s, (comb, rp, eap) in enumerate(parts):
@@ -149,6 +155,15 @@ def _pack_edge_streams(parts, num_parts, de, pad_multiple, dtype,
         sc[s, :k], rl[s, :k], ea[s, :k] = comb, rp, eap
         em[s, :k] = 1.0
     return sc, rl, ea, em
+
+
+def _sender_sort(sc: np.ndarray):
+    """Per-shard sender sort of a packed [P, El] sender stream ->
+    (perm [P, El], sorted [P, El]) so in-jit sender gathers can route
+    their backward through the SORTED segment sum (ops.gather_senders)
+    instead of XLA's unsorted scatter-add transpose."""
+    perm = np.argsort(sc, axis=1, kind="stable").astype(np.int32)
+    return perm, np.take_along_axis(sc, perm, axis=1).astype(np.int32)
 
 
 def partition_graph_halo(
@@ -188,7 +203,8 @@ def partition_graph_halo(
         parts.append((comb_all[m][perm], (rp - s * n_local)[perm],
                       edge_attr[m][perm]))
     sc, rl, ea, em = _pack_edge_streams(
-        parts, num_parts, edge_attr.shape[1], edges_pad_multiple, dtype)
+        parts, num_parts, edge_attr.shape[1], edges_pad_multiple, dtype,
+        pad_sender=n_local + num_parts * H - 1, pad_receiver=n_local - 1)
 
     xs, ys, nm = _pack_nodes(order, n_local, num_parts, x, y, dtype)
     return HaloSpatialGraph(
@@ -221,6 +237,10 @@ class HaloSplitGraph:
     senders_int: jax.Array  # i32[P, Ei] local rows
     receivers_int: jax.Array  # i32[P, Ei] local rows (sorted)
     edge_mask_int: jax.Array  # f32[P, Ei]
+    # per-shard sender sort of the interior stream: routes the sender
+    # gather's backward through a SORTED segment sum (CLAUDE.md invariant)
+    sender_perm_int: jax.Array  # i32[P, Ei]
+    senders_int_sorted: jax.Array  # i32[P, Ei]
     # boundary stream (sender remote; senders index the [P*H] halo table)
     edge_attr_bnd: jax.Array  # [P, Eb, De]
     senders_bnd: jax.Array  # i32[P, Eb] halo-table rows
@@ -353,10 +373,13 @@ def partition_graph_halo_split(
         n_local_pad = n_local
         si, ri, eai, emi = _pack_edge_streams(
             parts_int, num_parts, de, edges_pad_multiple, dtype,
-            rows=edges_int_rows)
+            rows=edges_int_rows, pad_sender=n_local - 1,
+            pad_receiver=n_local - 1)
     sb, rb, eab, emb = _pack_edge_streams(
         parts_bnd, num_parts, de, halo_pad_multiple, dtype,
-        rows=edges_bnd_rows)
+        rows=edges_bnd_rows, pad_sender=num_parts * H - 1,
+        pad_receiver=n_local_pad - 1)
+    sperm_i, ssort_i = _sender_sort(si)
 
     xs, ys, nm = _pack_nodes(order, n_local, num_parts, x, y, dtype,
                              rows=n_local_pad)
@@ -364,6 +387,8 @@ def partition_graph_halo_split(
         x=jnp.asarray(xs),
         edge_attr_int=jnp.asarray(eai), senders_int=jnp.asarray(si),
         receivers_int=jnp.asarray(ri), edge_mask_int=jnp.asarray(emi),
+        sender_perm_int=jnp.asarray(sperm_i),
+        senders_int_sorted=jnp.asarray(ssort_i),
         edge_attr_bnd=jnp.asarray(eab), senders_bnd=jnp.asarray(sb),
         receivers_bnd=jnp.asarray(rb), edge_mask_bnd=jnp.asarray(emb),
         send_idx=jnp.asarray(send_idx),
@@ -464,13 +489,17 @@ def _halo_split_layer(layer_params, cfg: B.MGNLayerConfig, x, e_int, e_bnd,
     fused Pallas edge kernel (single-chip speed per shard)."""
     n_local = x.shape[0]
     if _fused_interior_ok(cfg, x, sg):
+        from aero_gnn_tpu import ops
         from aero_gnn_tpu.ops.pallas_fused import fused_edge_layer
 
         p = layer_params["edge"]
         s_proj = x @ p["w_s"]
         halo = _exchange(s_proj, sg.send_idx, axis)  # issued early
         d_proj = x @ p["w_d"] + p["b"]
-        sg_rows = s_proj.at[sg.senders_int].get(mode="promise_in_bounds")
+        # sorted-transpose gather: backward is a sorted segment sum
+        sg_rows = ops.gather_senders(s_proj, sg.senders_int,
+                                     sg.sender_perm_int,
+                                     sg.senders_int_sorted)
         h = s_proj.shape[1]
         ws = (jnp.stack([s["w"] for s in p["stack"][:-1]])
               if len(p["stack"]) > 1
@@ -506,13 +535,18 @@ def _halo_split_layer(layer_params, cfg: B.MGNLayerConfig, x, e_int, e_bnd,
         x = B.node_block_post_residual(layer_params["node"], cfg, x, agg)
         return x, e_int, e_bnd
     if cfg.do_concat_trick:
+        from aero_gnn_tpu import ops
+
         p = layer_params["edge"]
         s_proj = x @ p["w_s"]
         halo = _exchange(s_proj, sg.send_idx, axis)  # [P*H, h], issued early
         d_proj = x @ p["w_d"] + p["b"]
-        # interior chain — independent of the exchange
+        # interior chain — independent of the exchange; sender gather via
+        # the sorted-transpose custom VJP
         h0_i = (e_int @ p["w_e"]
-                + s_proj.at[sg.senders_int].get(mode="promise_in_bounds")
+                + ops.gather_senders(s_proj, sg.senders_int,
+                                     sg.sender_perm_int,
+                                     sg.senders_int_sorted)
                 + d_proj.at[sg.receivers_int].get(mode="promise_in_bounds"))
         de_i = B.edge_block_sum_post(p, h0_i, cfg)
         # boundary chain — consumes the halo table
@@ -521,8 +555,10 @@ def _halo_split_layer(layer_params, cfg: B.MGNLayerConfig, x, e_int, e_bnd,
                 + d_proj.at[sg.receivers_bnd].get(mode="promise_in_bounds"))
         de_b = B.edge_block_sum_post(p, h0_b, cfg)
     else:
+        from aero_gnn_tpu import ops as _ops
         halo = _exchange(x, sg.send_idx, axis)
-        xs_i = x.at[sg.senders_int].get(mode="promise_in_bounds")
+        xs_i = _ops.gather_senders(x, sg.senders_int, sg.sender_perm_int,
+                                   sg.senders_int_sorted)
         xd_i = x.at[sg.receivers_int].get(mode="promise_in_bounds")
         de_i = M.mlp_apply(
             layer_params["edge"],

@@ -3,7 +3,7 @@ preferred_element_type instead of explicit casts), in ONE
 process (chip-state drift — see CLAUDE.md). Baseline = current defaults
 (premask, BWD_SPLIT=2, FWD_SPLIT=4, unrolled processor, remat off).
 
-Usage: python benchmarks/ablate_nodesplit.py (TPU).
+Usage: python benchmarks/ablate_mmnative.py (TPU).
 """
 
 import os
