@@ -192,7 +192,8 @@ def bsms_spatial_forward(params, cfg, bg: BSMSSpatialGraph, *,
         def body(carry, lp):
             x, e = carry
             x, e = _spatial_layer(lp, layer_cfg, x, e, fine.senders_global,
-                                  fine.receivers_local, fine.edge_mask, axis)
+                                  fine.receivers_local, fine.edge_mask, axis,
+                                  fine.sender_perm, fine.senders_sorted)
             return (x, e), None
         from aero_gnn_tpu.models.mgn import scan_layers
         return scan_layers(body, (x, e), stacked,

@@ -32,7 +32,7 @@ from aero_gnn_tpu.graph.padded import _round_up, sort_edges_by_receiver
 from aero_gnn_tpu.models.mgn import scan_layers
 from aero_gnn_tpu.nn import blocks as B
 from aero_gnn_tpu.nn import mlp as M
-from aero_gnn_tpu.parallel.spatial import _morton_order
+from aero_gnn_tpu.parallel.spatial import _morton_order, sender_sort
 
 
 @jax.tree_util.register_dataclass
@@ -48,6 +48,10 @@ class HaloSpatialGraph:
     node_mask: jax.Array  # f32[P, Nl]
     edge_mask: jax.Array  # f32[P, El]
     y: jax.Array  # [P, Nl, Dy]
+    # per-shard sender sort (sorted segment-sum backward for the combined
+    # table gather); None on pre-existing pickled graphs
+    sender_perm: Optional[jax.Array] = None  # i32[P, El]
+    senders_sorted: Optional[jax.Array] = None  # i32[P, El]
 
     @property
     def num_parts(self) -> int:
@@ -157,13 +161,8 @@ def _pack_edge_streams(parts, num_parts, de, pad_multiple, dtype,
     return sc, rl, ea, em
 
 
-def _sender_sort(sc: np.ndarray):
-    """Per-shard sender sort of a packed [P, El] sender stream ->
-    (perm [P, El], sorted [P, El]) so in-jit sender gathers can route
-    their backward through the SORTED segment sum (ops.gather_senders)
-    instead of XLA's unsorted scatter-add transpose."""
-    perm = np.argsort(sc, axis=1, kind="stable").astype(np.int32)
-    return perm, np.take_along_axis(sc, perm, axis=1).astype(np.int32)
+# canonical implementation shared with parallel.spatial
+_sender_sort = sender_sort
 
 
 def partition_graph_halo(
@@ -205,6 +204,7 @@ def partition_graph_halo(
     sc, rl, ea, em = _pack_edge_streams(
         parts, num_parts, edge_attr.shape[1], edges_pad_multiple, dtype,
         pad_sender=n_local + num_parts * H - 1, pad_receiver=n_local - 1)
+    sperm, ssort = _sender_sort(sc)
 
     xs, ys, nm = _pack_nodes(order, n_local, num_parts, x, y, dtype)
     return HaloSpatialGraph(
@@ -212,7 +212,8 @@ def partition_graph_halo(
         senders_combined=jnp.asarray(sc), receivers_local=jnp.asarray(rl),
         send_idx=jnp.asarray(send_idx),
         node_mask=jnp.asarray(nm), edge_mask=jnp.asarray(em),
-        y=jnp.asarray(ys))
+        y=jnp.asarray(ys), sender_perm=jnp.asarray(sperm),
+        senders_sorted=jnp.asarray(ssort))
 
 
 @jax.tree_util.register_dataclass
@@ -414,16 +415,20 @@ def _halo_layer(layer_params, cfg: B.MGNLayerConfig, x, e, sg, axis):
         e_proj = e @ p["w_e"]
         s_proj = x @ p["w_s"]
         d_proj = x @ p["w_d"] + p["b"]
+        from aero_gnn_tpu import ops
         table = jnp.concatenate(
             [s_proj, _exchange(s_proj, send_idx_local, axis)], axis=0)
         h0 = (e_proj
-              + table.at[sg.senders_combined].get(mode="promise_in_bounds")
+              + ops.gather_senders(table, sg.senders_combined,
+                                   sg.sender_perm, sg.senders_sorted)
               + d_proj.at[sg.receivers_local].get(mode="promise_in_bounds"))
         delta_e = B.edge_block_sum_post(p, h0, cfg)
     else:
+        from aero_gnn_tpu import ops
         table = jnp.concatenate(
             [x, _exchange(x, send_idx_local, axis)], axis=0)
-        x_src = table.at[sg.senders_combined].get(mode="promise_in_bounds")
+        x_src = ops.gather_senders(table, sg.senders_combined,
+                                   sg.sender_perm, sg.senders_sorted)
         x_dst = x.at[sg.receivers_local].get(mode="promise_in_bounds")
         delta_e = M.mlp_apply(
             layer_params["edge"],

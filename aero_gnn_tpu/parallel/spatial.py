@@ -51,6 +51,12 @@ class SpatialGraph:
     node_mask: jax.Array  # f32[P, Nl]
     edge_mask: jax.Array  # f32[P, El]
     y: jax.Array  # [P, Nl, Dy]
+    # per-shard sender sort: routes the sender gather's backward through a
+    # SORTED segment sum over the gathered table (CLAUDE.md invariant —
+    # XLA's gather transpose is an unsorted scatter-add); None on graphs
+    # built before these fields existed (plain-gather fallback)
+    sender_perm: Optional[jax.Array] = None  # i32[P, El]
+    senders_sorted: Optional[jax.Array] = None  # i32[P, El]
 
     @property
     def num_parts(self) -> int:
@@ -63,6 +69,13 @@ class SpatialGraph:
 
 # canonical implementation lives in graph.order (shared with data.synthetic)
 _morton_order = morton_order
+
+
+def sender_sort(sc: np.ndarray):
+    """Per-shard stable sender sort of a packed [P, El] sender stream ->
+    (perm, sorted), for ops.gather_senders' sorted-transpose backward."""
+    perm = np.argsort(sc, axis=1, kind="stable").astype(np.int32)
+    return perm, np.take_along_axis(sc, perm, axis=1).astype(np.int32)
 
 
 def partition_graph(
@@ -123,11 +136,13 @@ def partition_graph(
             ys[p, :k] = y[chunk]
         nm[p, :k] = 1.0
 
+    sperm, ssort = sender_sort(sg)
     return SpatialGraph(
         x=jnp.asarray(xs), edge_attr=jnp.asarray(ea),
         senders_global=jnp.asarray(sg), receivers_local=jnp.asarray(rl),
         node_mask=jnp.asarray(nm), edge_mask=jnp.asarray(em),
-        y=jnp.asarray(ys))
+        y=jnp.asarray(ys), sender_perm=jnp.asarray(sperm),
+        senders_sorted=jnp.asarray(ssort))
 
 
 # ---------------------------------------------------------------------------
@@ -136,8 +151,12 @@ def partition_graph(
 
 def _spatial_layer(layer_params, cfg: B.MGNLayerConfig, x, e,
                    senders_global, receivers_local, edge_mask,
-                   axis: str):
-    """One MGN layer on a shard; one all_gather per layer for sender halos."""
+                   axis: str, sender_perm=None, senders_sorted=None):
+    """One MGN layer on a shard; one all_gather per layer for sender halos.
+    Sender gathers route through ops.gather_senders when the shard carries
+    a sender sort (sorted segment-sum backward)."""
+    from aero_gnn_tpu import ops
+
     n_local = x.shape[0]
     if cfg.do_concat_trick:
         p = layer_params["edge"]
@@ -145,12 +164,15 @@ def _spatial_layer(layer_params, cfg: B.MGNLayerConfig, x, e,
         s_proj = x @ p["w_s"]
         d_proj = x @ p["w_d"] + p["b"]
         all_s = jax.lax.all_gather(s_proj, axis, tiled=True)  # [P*Nl, h]
-        h0 = (e_proj + all_s.at[senders_global].get(mode="promise_in_bounds")
+        h0 = (e_proj
+              + ops.gather_senders(all_s, senders_global, sender_perm,
+                                   senders_sorted)
               + d_proj.at[receivers_local].get(mode="promise_in_bounds"))
         delta_e = B.edge_block_sum_post(p, h0, cfg)
     else:
         all_x = jax.lax.all_gather(x, axis, tiled=True)  # [P*Nl, h]
-        x_src = all_x.at[senders_global].get(mode="promise_in_bounds")
+        x_src = ops.gather_senders(all_x, senders_global, sender_perm,
+                                   senders_sorted)
         x_dst = x.at[receivers_local].get(mode="promise_in_bounds")
         edge_input = jnp.concatenate([e, x_src, x_dst], axis=-1)
         delta_e = M.mlp_apply(layer_params["edge"], edge_input,
@@ -189,7 +211,9 @@ def spatial_mgn_forward(params, cfg, sg_block: SpatialGraph,
         x, e = _spatial_layer(layer_params, layer_cfg, x, e,
                               sg_block.senders_global,
                               sg_block.receivers_local,
-                              sg_block.edge_mask, axis)
+                              sg_block.edge_mask, axis,
+                              sg_block.sender_perm,
+                              sg_block.senders_sorted)
         return (x, e), None
 
     if getattr(cfg, "remat", True):
