@@ -56,7 +56,7 @@ def main() -> None:
                         "(GB/s, one direction)")
     parser.add_argument("--chip-edges-per-s", type=float, default=None,
                         help="measured single-chip train edges/s "
-                        "(default: BENCH_r* headline 2.65e6)")
+                        "(default: round-2 headline 3.98e6)")
     parser.add_argument("--out", default="SCALING_r2.json")
     args = parser.parse_args()
 
@@ -82,7 +82,7 @@ def main() -> None:
 
     n_dev = jax.device_count()
     bytes_act = 2  # bf16 activations on TPU
-    chip_rate = args.chip_edges_per_s or 2.65e6  # BENCH_r01 headline
+    chip_rate = args.chip_edges_per_s or 3.98e6  # round-2 headline
     ici_bps = args.ici_gbps * 1e9
 
     sample = make_random_mesh_sample(n_nodes=args.nodes, seed=0)
