@@ -63,6 +63,8 @@ class MGNv2Config:
     num_encoder_layers: int = 2
     num_decoder_layers: int = 2
     dropout: float = 0.0
+    # Python-unrolled conv loop (see models.mgn.scan_layers)
+    unroll: bool = False
 
     def init(self, key: jax.Array, dtype=jnp.float32):
         kn, ke, kg, kgl, kl, kd = jax.random.split(key, 6)

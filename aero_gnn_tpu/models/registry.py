@@ -65,7 +65,9 @@ def _mgn_kwargs(mc: Dict[str, Any], dims: Dict[str, int]) -> Dict[str, Any]:
         # match MGNConfig)
         remat=mc.get("remat", True),
         remat_policy=mc.get("remat_policy", "save_fused"),
+        remat_group=mc.get("remat_group", 0),
         compute_dtype=mc.get("compute_dtype", "float32"),
+        unroll=mc.get("unroll", False),
     )
 
 
@@ -122,6 +124,7 @@ def build_model(model_config: Dict[str, Any], dims: Dict[str, int]):
             edge_input_size=dims["input_edge_dim"],
             hidden_channels=mc.get("hidden_dim", 128),
             out_channels=dims["output_node_dim"],
+            unroll=mc.get("unroll", False),
             num_graph_conv_layers=mc.get("num_message_passing_layers", 15),
             num_encoder_layers=mc.get("number_of_encoding_layers", 2),
             num_decoder_layers=mc.get("number_of_decoding_layers", 2),
