@@ -73,6 +73,7 @@ def partition_bsms(
     mode: str = "stride",
     stride: int = 2,
     edges_pad_multiple: int = 128,
+    align_interior: bool = False,
 ) -> BSMSSpatialGraph:
     levels = H.build_hierarchy_real(
         senders=senders, receivers=receivers,
@@ -83,11 +84,13 @@ def partition_bsms(
     fine = partition_graph(
         senders=senders, receivers=receivers, x=x, edge_attr=edge_attr,
         pos=pos, y=y, num_parts=num_parts,
-        edges_pad_multiple=edges_pad_multiple)
+        edges_pad_multiple=edges_pad_multiple,
+        align_interior=align_interior)
 
     n = x.shape[0]
     order = _morton_order(pos)
-    n_local = fine.nodes_per_part
+    n_local = fine.nodes_per_part  # PADDED per-shard rows (node stride)
+    n_chunk = -(-n // num_parts)   # real nodes assigned per shard
     el = fine.senders_global.shape[1]
 
     # hierarchy level-0 arrays are in receiver-sorted GLOBAL edge order;
@@ -107,7 +110,7 @@ def partition_bsms(
     new_of_old = np.full(n, -1, dtype=np.int64)
     old_of_new = np.full(num_parts * n_local, -1, dtype=np.int64)
     for p in range(num_parts):
-        chunk = order[p * n_local:(p + 1) * n_local]
+        chunk = order[p * n_chunk:(p + 1) * n_chunk]
         new_of_old[chunk] = p * n_local + np.arange(len(chunk))
         old_of_new[p * n_local: p * n_local + len(chunk)] = chunk
         f2c[p, : len(chunk)] = lvl0["fine_to_coarse"][chunk]
@@ -193,7 +196,8 @@ def bsms_spatial_forward(params, cfg, bg: BSMSSpatialGraph, *,
             x, e = carry
             x, e = _spatial_layer(lp, layer_cfg, x, e, fine.senders_global,
                                   fine.receivers_local, fine.edge_mask, axis,
-                                  fine.sender_perm, fine.senders_sorted)
+                                  fine.sender_perm, fine.senders_sorted,
+                                  aligned=fine.aligned)
             return (x, e), None
         from aero_gnn_tpu.models.mgn import scan_layers
         return scan_layers(body, (x, e), stacked,

@@ -57,6 +57,11 @@ class SpatialGraph:
     # built before these fields existed (plain-gather fallback)
     sender_perm: Optional[jax.Array] = None  # i32[P, El]
     senders_sorted: Optional[jax.Array] = None  # i32[P, El]
+    # static: per-shard edge streams are block-aligned (fused Pallas
+    # kernels legal on the shard compute); explicit flag — divisible
+    # shapes alone are unsafe (CLAUDE.md invariants)
+    aligned: bool = dataclasses.field(default=False,
+                                      metadata=dict(static=True))
 
     @property
     def num_parts(self) -> int:
@@ -69,6 +74,43 @@ class SpatialGraph:
 
 # canonical implementation lives in graph.order (shared with data.synthetic)
 _morton_order = morton_order
+
+
+def pack_aligned_edges(parts, num_parts, de, n_local_pad, dtype,
+                       rows=None):
+    """Block-align each shard's receiver-sorted (sender, recv_local, attr)
+    edge stream (graph.padded._align_edge_blocks: every ALIGN_NODE_BLOCK
+    node block owns whole ALIGN_EDGE_TILE-edge tiles) and pack shards to
+    one padded length. Tail pad tiles point at the shard's last pad node
+    (last block), mask 0 — so in-jit derive_tiles stays exact and the
+    receiver stream stays sorted."""
+    from aero_gnn_tpu.graph.padded import (
+        ALIGN_EDGE_TILE, _align_edge_blocks)
+
+    aligned = []
+    for sp, rp, eap in parts:
+        s_a, r_a, ea_a, valid, _, _ = _align_edge_blocks(
+            sp.astype(np.int64), rp.astype(np.int64), eap, n_local_pad,
+            dtype)
+        aligned.append((s_a, r_a, ea_a, valid))
+    need = max(len(a[0]) for a in aligned)
+    el = _round_up(need, ALIGN_EDGE_TILE)
+    if rows is not None:
+        if rows < need or rows % ALIGN_EDGE_TILE:
+            raise ValueError(
+                f"aligned rows={rows} incompatible with required {need} "
+                f"(tile {ALIGN_EDGE_TILE})")
+        el = rows
+    pad_node = n_local_pad - 1
+    si = np.full((num_parts, el), pad_node, dtype=np.int32)
+    ri = np.full((num_parts, el), pad_node, dtype=np.int32)
+    ea = np.zeros((num_parts, el, de), dtype=dtype)
+    em = np.zeros((num_parts, el), dtype=dtype)
+    for s, (sa, ra, ea_, va) in enumerate(aligned):
+        k = len(sa)
+        si[s, :k], ri[s, :k], ea[s, :k] = sa, ra, ea_
+        em[s, :k] = va.astype(dtype)
+    return si, ri, ea, em
 
 
 def sender_sort(sc: np.ndarray):
@@ -89,15 +131,27 @@ def partition_graph(
     num_parts: int,
     edges_pad_multiple: int = 128,
     dtype=np.float32,
+    align_interior: bool = False,
 ) -> SpatialGraph:
-    """Host-side partitioning of one REAL (unpadded) mesh into P shards."""
+    """Host-side partitioning of one REAL (unpadded) mesh into P shards.
+
+    ``align_interior=True`` pads each shard's node count to whole
+    ALIGN_NODE_BLOCK blocks and block-aligns the per-shard edge streams so
+    the fused Pallas edge/node kernels run on the shard compute (gated by
+    the static ``aligned`` flag)."""
     n = x.shape[0]
     order = _morton_order(pos)
-    n_local = -(-n // num_parts)
+    n_chunk = -(-n // num_parts)
+    if align_interior:
+        from aero_gnn_tpu.graph.padded import ALIGN_NODE_BLOCK
+
+        n_local = _round_up(n_chunk + 1, ALIGN_NODE_BLOCK)
+    else:
+        n_local = n_chunk
     # new id: shard-major layout [P * n_local]; tail slots are dummies
     new_of_old = np.full(n, -1, dtype=np.int64)
     for p in range(num_parts):
-        chunk = order[p * n_local:(p + 1) * n_local]
+        chunk = order[p * n_chunk:(p + 1) * n_chunk]
         new_of_old[chunk] = p * n_local + np.arange(len(chunk))
 
     s_new = new_of_old[senders]
@@ -112,24 +166,32 @@ def partition_graph(
         perm = sort_edges_by_receiver(s_p, r_p)
         per_part_edges.append((s_p[perm], r_p[perm] - p * n_local,
                                ea_p[perm]))
-    el = _round_up(max(max((len(t[0]) for t in per_part_edges), default=1), 1),
-                   edges_pad_multiple)
-
-    sg = np.zeros((num_parts, el), dtype=np.int32)
-    rl = np.zeros((num_parts, el), dtype=np.int32)
-    ea = np.zeros((num_parts, el, edge_attr.shape[1]), dtype=dtype)
-    em = np.zeros((num_parts, el), dtype=dtype)
-    for p, (s_p, r_p, ea_p) in enumerate(per_part_edges):
-        k = len(s_p)
-        sg[p, :k], rl[p, :k], ea[p, :k] = s_p, r_p, ea_p
-        em[p, :k] = 1.0
-        # pad edges point at this shard's node 0 with zero mask
+    if align_interior:
+        # NOTE alignment fills pad-slot senders with in-block LOCAL rows
+        # (valid global-table indices of shard 0 / in-shard rows; masked)
+        sg, rl, ea, em = pack_aligned_edges(
+            per_part_edges, num_parts, edge_attr.shape[1], n_local, dtype)
+        # pad-slot senders must stay in [0, P*n_local): pack_aligned_edges'
+        # tail fill (n_local - 1) already is
+    else:
+        el = _round_up(
+            max(max((len(t[0]) for t in per_part_edges), default=1), 1),
+            edges_pad_multiple)
+        sg = np.zeros((num_parts, el), dtype=np.int32)
+        # sorted-safe pads: last local row, mask 0 (contributions exact 0)
+        rl = np.full((num_parts, el), n_local - 1, dtype=np.int32)
+        ea = np.zeros((num_parts, el, edge_attr.shape[1]), dtype=dtype)
+        em = np.zeros((num_parts, el), dtype=dtype)
+        for p, (s_p, r_p, ea_p) in enumerate(per_part_edges):
+            k = len(s_p)
+            sg[p, :k], rl[p, :k], ea[p, :k] = s_p, r_p, ea_p
+            em[p, :k] = 1.0
     xs = np.zeros((num_parts, n_local, x.shape[1]), dtype=dtype)
     ys = np.zeros((num_parts, n_local,
                    y.shape[1] if y is not None else 1), dtype=dtype)
     nm = np.zeros((num_parts, n_local), dtype=dtype)
     for p in range(num_parts):
-        chunk = order[p * n_local:(p + 1) * n_local]
+        chunk = order[p * n_chunk:(p + 1) * n_chunk]
         k = len(chunk)
         xs[p, :k] = x[chunk]
         if y is not None:
@@ -142,22 +204,71 @@ def partition_graph(
         senders_global=jnp.asarray(sg), receivers_local=jnp.asarray(rl),
         node_mask=jnp.asarray(nm), edge_mask=jnp.asarray(em),
         y=jnp.asarray(ys), sender_perm=jnp.asarray(sperm),
-        senders_sorted=jnp.asarray(ssort))
+        senders_sorted=jnp.asarray(ssort), aligned=align_interior)
 
 
 # ---------------------------------------------------------------------------
 # sharded MGN forward
 # ---------------------------------------------------------------------------
 
+def _fused_spatial_ok(cfg: B.MGNLayerConfig, x, receivers_local,
+                      aligned: bool) -> bool:
+    """Gate for the fused Pallas per-shard compute (mirrors
+    nn.blocks._fused_layer_ok): requires partition_graph's align_interior
+    layout — divisible shapes alone are unsafe."""
+    from aero_gnn_tpu import ops as _ops
+    from aero_gnn_tpu.ops import pallas_segment as PS
+
+    return (aligned and _ops.backend() == "pallas"
+            and cfg.do_concat_trick
+            and cfg.edge_sum_activation == "relu"
+            and x.shape[0] % PS.NB == 0
+            and receivers_local.shape[-1] % PS.ET == 0)
+
+
 def _spatial_layer(layer_params, cfg: B.MGNLayerConfig, x, e,
                    senders_global, receivers_local, edge_mask,
-                   axis: str, sender_perm=None, senders_sorted=None):
+                   axis: str, sender_perm=None, senders_sorted=None,
+                   aligned: bool = False):
     """One MGN layer on a shard; one all_gather per layer for sender halos.
     Sender gathers route through ops.gather_senders when the shard carries
-    a sender sort (sorted segment-sum backward)."""
+    a sender sort (sorted segment-sum backward). With the align_interior
+    layout the edge chain + aggregation runs on the fused Pallas kernels
+    (single-chip speed per shard)."""
     from aero_gnn_tpu import ops
 
     n_local = x.shape[0]
+    if _fused_spatial_ok(cfg, x, receivers_local, aligned):
+        from aero_gnn_tpu.ops.pallas_fused import fused_edge_layer
+
+        p = layer_params["edge"]
+        s_proj = x @ p["w_s"]
+        d_proj = x @ p["w_d"] + p["b"]
+        all_s = jax.lax.all_gather(s_proj, axis, tiled=True)  # [P*Nl, h]
+        sg_rows = ops.gather_senders(all_s, senders_global, sender_perm,
+                                     senders_sorted)
+        h = s_proj.shape[1]
+        ws = (jnp.stack([st["w"] for st in p["stack"][:-1]])
+              if len(p["stack"]) > 1
+              else jnp.zeros((0, h, h), s_proj.dtype))
+        bs = (jnp.stack([st["b"] for st in p["stack"][:-1]])
+              if len(p["stack"]) > 1
+              else jnp.zeros((0, h), s_proj.dtype))
+        e, agg = fused_edge_layer(
+            e, sg_rows, d_proj, edge_mask, receivers_local,
+            p["w_e"], ws, bs, p["stack"][-1]["w"], p["stack"][-1]["b"],
+            p["ln"]["scale"], p["ln"]["bias"], n_local,
+            cfg.edge_sum_activation)
+        if cfg.aggregation == "mean":
+            deg = jax.ops.segment_sum(edge_mask, receivers_local,
+                                      num_segments=n_local,
+                                      indices_are_sorted=True)
+            agg = agg / jnp.maximum(deg, 1.0)[:, None]
+        elif cfg.aggregation != "add":
+            raise ValueError(
+                f"Unsupported aggregation method: {cfg.aggregation}")
+        x = B.node_block_post_residual(layer_params["node"], cfg, x, agg)
+        return x, e
     if cfg.do_concat_trick:
         p = layer_params["edge"]
         e_proj = e @ p["w_e"]
@@ -213,7 +324,8 @@ def spatial_mgn_forward(params, cfg, sg_block: SpatialGraph,
                               sg_block.receivers_local,
                               sg_block.edge_mask, axis,
                               sg_block.sender_perm,
-                              sg_block.senders_sorted)
+                              sg_block.senders_sorted,
+                              aligned=sg_block.aligned)
         return (x, e), None
 
     if getattr(cfg, "remat", True):

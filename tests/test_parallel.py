@@ -604,3 +604,101 @@ class TestAlignedHaloSplit:
                 losses.append(float(loss))
         assert np.isfinite(losses).all()
         assert losses[-1] < losses[0]
+
+
+class TestAlignedSpatial:
+    """partition_graph(align_interior=True): fused Pallas kernels on the
+    per-shard all-gather spatial compute (and the BSMS fine level).
+    Interpret-mode Pallas aborts in shard_map with >1 device thread, so
+    the fused dispatch runs at P=1 and the layout check at P=8 on XLA."""
+
+    def test_aligned_spatial_matches_single_device_p1(self):
+        from jax.experimental.pallas import tpu as pltpu
+
+        from aero_gnn_tpu import ops
+
+        cfg = MGNConfig(**TINY, do_concat_trick=True)
+        params = cfg.init(jax.random.PRNGKey(41))
+        s = make_random_mesh_sample(n_nodes=300, seed=41)
+        D.compute_features([s], ["mach", "alpha"])
+        gb = padded.build_graph_batch(
+            senders=s.senders, receivers=s.receivers, x=s.x,
+            edge_attr=s.edge_attr, pos=s.pos, y=s.y)
+        ref = np.asarray(cfg.apply(params, gb))[:s.num_nodes]
+
+        mesh = make_mesh(data=1, graph=1, devices=jax.devices()[:1])
+        sg = SP.partition_graph(
+            senders=s.senders, receivers=s.receivers, x=s.x,
+            edge_attr=s.edge_attr, pos=s.pos, y=s.y, num_parts=1,
+            align_interior=True)
+        assert sg.aligned and sg.nodes_per_part % 256 == 0
+        fwd = SP.make_spatial_forward(cfg, mesh)
+        with ops.use_backend("pallas"), pltpu.force_tpu_interpret_mode():
+            out = np.asarray(fwd(params, sg))
+        np.testing.assert_allclose(out[0, :s.num_nodes], ref,
+                                   rtol=3e-4, atol=3e-4)
+
+    def test_aligned_spatial_layout_p8_xla(self):
+        cfg = MGNConfig(**TINY, do_concat_trick=True)
+        params = cfg.init(jax.random.PRNGKey(42))
+        s = make_random_mesh_sample(n_nodes=512, seed=42)
+        D.compute_features([s], ["mach", "alpha"])
+        gb = padded.build_graph_batch(
+            senders=s.senders, receivers=s.receivers, x=s.x,
+            edge_attr=s.edge_attr, pos=s.pos, y=s.y)
+        ref = np.asarray(cfg.apply(params, gb))[:s.num_nodes]
+
+        mesh = make_mesh(data=1, graph=8)
+        sg = SP.partition_graph(
+            senders=s.senders, receivers=s.receivers, x=s.x,
+            edge_attr=s.edge_attr, pos=s.pos, y=s.y, num_parts=8,
+            align_interior=True)
+        fwd = SP.make_spatial_forward(cfg, mesh)
+        out = np.asarray(fwd(params, sg))
+
+        order = SP._morton_order(s.pos)
+        n_chunk = -(-s.num_nodes // 8)
+        got = np.zeros_like(ref)
+        for p in range(8):
+            chunk = order[p * n_chunk:(p + 1) * n_chunk]
+            got[chunk] = out[p, :len(chunk)]
+        np.testing.assert_allclose(got, ref, rtol=3e-4, atol=3e-4)
+
+    def test_aligned_bsms_fine_matches_single_device_p1(self):
+        from jax.experimental.pallas import tpu as pltpu
+
+        from aero_gnn_tpu import ops
+        from aero_gnn_tpu.models.bsms import BSMSConfig
+        from aero_gnn_tpu.parallel import bsms_spatial as BS
+
+        cfg = BSMSConfig(**TINY, do_concat_trick=True, num_scales=3,
+                         layers_per_scale=1, hierarchy_mode="bistride",
+                         remat=False)
+        params = cfg.init(jax.random.PRNGKey(43))
+        s = make_random_mesh_sample(n_nodes=300, seed=43)
+        D.compute_features([s], ["mach", "alpha"])
+        gb = padded.build_graph_batch(
+            senders=s.senders, receivers=s.receivers, x=s.x,
+            edge_attr=s.edge_attr, pos=s.pos, y=s.y)
+        from aero_gnn_tpu.graph.hierarchy import build_hierarchy
+        levels = tuple(build_hierarchy(
+            senders=s.senders, receivers=s.receivers,
+            node_graph=np.zeros(s.num_nodes, np.int64),
+            num_nodes=s.num_nodes, pos=s.pos.astype(np.float64),
+            num_scales=3, mode="bistride",
+            num_fine_nodes_pad=gb.num_nodes_pad,
+            num_fine_edges_pad=gb.num_edges_pad))
+        ref = np.asarray(cfg.apply(params, gb,
+                                   hierarchy=levels))[:s.num_nodes]
+
+        mesh = make_mesh(data=1, graph=1, devices=jax.devices()[:1])
+        bg = BS.partition_bsms(
+            senders=s.senders, receivers=s.receivers, x=s.x,
+            edge_attr=s.edge_attr, pos=s.pos, y=s.y, num_parts=1,
+            num_scales=3, mode="bistride", align_interior=True)
+        assert bg.fine.aligned
+        run = BS.make_bsms_spatial_forward(cfg, mesh)
+        with ops.use_backend("pallas"), pltpu.force_tpu_interpret_mode():
+            out = np.asarray(run(params, bg))
+        np.testing.assert_allclose(out[0, :s.num_nodes], ref,
+                                   rtol=3e-4, atol=3e-4)
