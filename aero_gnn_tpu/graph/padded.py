@@ -102,6 +102,11 @@ class GraphBatch:
     tile_block: Optional[jax.Array] = None  # i32[T]
     tile_first: Optional[jax.Array] = None  # i32[T]
 
+    # Banded decomposition of the sender backward's [E, h] permutation
+    # gather (ops.scatter.PermGatherPlan); built for large edge streams
+    # where XLA's plain row gather leaves its fast regime. None = plain.
+    sender_plan: Optional[Any] = None
+
     @property
     def edges_aligned(self) -> bool:
         """True iff built with align_edges=True (the Pallas kernel layout).
@@ -266,6 +271,7 @@ def build_graph_batch(
 
     sender_perm = np.argsort(s_p, kind="stable").astype(np.int32)
     senders_sorted = s_p[sender_perm]
+    sender_plan = None
     if align_edges:
         # Align the SENDER-sorted stream to blocks as well, so the sorted
         # segment-sum in the gather-transpose backward can also run on the
@@ -273,6 +279,8 @@ def build_graph_batch(
         # row; fill sender keys stay inside their node block.
         sender_perm, senders_sorted = _align_sender_stream(
             sender_perm, senders_sorted, edge_mask, np_pad)
+        sender_plan, sender_perm, senders_sorted = _maybe_perm_gather_plan(
+            sender_perm, senders_sorted, edge_mask, ep_pad, np_pad)
 
     gb = GraphBatch(
         senders=jnp.asarray(s_p),
@@ -281,6 +289,7 @@ def build_graph_batch(
         senders_sorted=jnp.asarray(senders_sorted),
         tile_block=None if tile_block is None else jnp.asarray(tile_block),
         tile_first=None if tile_first is None else jnp.asarray(tile_first),
+        sender_plan=sender_plan,
         x=jnp.asarray(pad_rows(x, np_pad)),
         edge_attr=jnp.asarray(ea_p),
         pos=jnp.asarray(pad_rows(pos, np_pad)),
@@ -358,6 +367,54 @@ def _offsets(graphs: list) -> list:
         offs.append(acc)
         acc += g["x"].shape[0]
     return offs
+
+
+def _maybe_perm_gather_plan(sender_perm, senders_sorted, edge_mask,
+                            num_src_rows, num_nodes_pad):
+    """Attach a banded PermGatherPlan to large sender streams.
+
+    XLA's [E, h] permutation gather (the sender backward) leaves its fast
+    regime once the edge stream is large (~4x measured on the 262k-node
+    bench, benchmarks/micro_permgather.py); the plan re-expresses it as
+    windowed chunk gathers + an outlier fixup (ops.scatter). Gated by
+    AERO_GNN_PG (auto | 0 | 1-force) with AERO_GNN_PG_MIN_EDGES (default
+    393216 rows ~ 100 MB bf16 at h=128), AERO_GNN_PG_CHUNK / AERO_GNN_PG_WIN
+    geometry. May pad the sender stream to a chunk multiple (pad slots keep
+    the masked-row / last-pad-node convention).
+    """
+    mode = os.environ.get("AERO_GNN_PG", "auto")
+    if mode == "0":
+        return None, sender_perm, senders_sorted
+    # geometry swept on the 262k mesh (benchmarks/ablate_permgather.py):
+    # 32k:64k / 64k:96k / 64k:128k / 128k:256k -> 288.7 / 286.2 / 289.1 /
+    # 292.3 ms/step (plain 392.8)
+    chunk = int(os.environ.get("AERO_GNN_PG_CHUNK", 65536))
+    window = int(os.environ.get("AERO_GNN_PG_WIN", 98304))
+    min_edges = int(os.environ.get("AERO_GNN_PG_MIN_EDGES", 393216))
+    if mode != "1" and num_src_rows < min_edges:
+        return None, sender_perm, senders_sorted
+    if chunk % ALIGN_EDGE_TILE:
+        return None, sender_perm, senders_sorted
+    masked_rows = np.nonzero(edge_mask == 0.0)[0]
+    if len(masked_rows) == 0:
+        return None, sender_perm, senders_sorted
+    pad_row = np.int32(masked_rows[-1])
+    tail = (-len(sender_perm)) % chunk
+    perm = np.concatenate(
+        [sender_perm, np.full(tail, pad_row, np.int32)]) \
+        if tail else sender_perm
+    keys = np.concatenate(
+        [senders_sorted,
+         np.full(tail, num_nodes_pad - 1, senders_sorted.dtype)]) \
+        if tail else senders_sorted
+    valid = edge_mask[perm] > 0
+    from aero_gnn_tpu.ops.scatter import build_perm_gather_plan
+    plan = build_perm_gather_plan(
+        perm, keys, valid, num_src_rows, num_nodes_pad - 1,
+        chunk=chunk, window=window)
+    if plan is None:
+        return None, sender_perm, senders_sorted
+    return plan, perm.astype(np.int32), keys
 
 
 def _align_sender_stream(sender_perm, senders_sorted, edge_mask,

@@ -194,6 +194,7 @@ class BSMSConfig(MGNConfig):
         senders, receivers = graph.senders, graph.receivers
         node_mask, edge_mask = graph.node_mask, graph.edge_mask
         sperm, ssort = graph.sender_perm, graph.senders_sorted
+        splan = graph.sender_plan
         aligned = graph.edges_aligned
         skips = []
 
@@ -202,11 +203,12 @@ class BSMSConfig(MGNConfig):
             x, e = run_processor(params["down"][s], self.layer_cfg, x, e,
                                  senders, receivers, edge_mask,
                                  sender_perm=sperm, senders_sorted=ssort,
+                                 sender_plan=splan,
                                  remat=self.remat,
                                  remat_policy=self.remat_policy,
                                  aligned=aligned, unroll=self.unroll)
             skips.append((x, e, senders, receivers, edge_mask, sperm, ssort,
-                          aligned))
+                          splan, aligned))
             # fine->coarse transfers ride SORTED segment sums when the
             # level carries pool perms (ops.segment_pool_sum — XLA's
             # unsorted scatter-add is a serial TPU path); the jnp fallback
@@ -268,6 +270,7 @@ class BSMSConfig(MGNConfig):
             senders, receivers = level.senders, level.receivers
             node_mask, edge_mask = level.node_mask, level.edge_mask
             sperm, ssort = level.sender_perm, level.senders_sorted
+            splan = None  # coarse streams are small; plain gather is optimal
             # coarse streams are block-aligned when the hierarchy went
             # through graph.hierarchy.align_hierarchy (loader does this
             # under the pallas backend) — then the fused kernels run on
@@ -278,6 +281,7 @@ class BSMSConfig(MGNConfig):
         x, e = run_processor(params["bottleneck"], self.layer_cfg, x, e,
                              senders, receivers, edge_mask,
                              sender_perm=sperm, senders_sorted=ssort,
+                             sender_plan=splan,
                              remat=self.remat,
                              remat_policy=self.remat_policy,
                              aligned=aligned, unroll=self.unroll)
@@ -286,7 +290,7 @@ class BSMSConfig(MGNConfig):
         for i in range(len(hierarchy)):
             level = hierarchy[-(i + 1)]
             (skip_x, skip_e, senders, receivers, edge_mask,
-             sperm, ssort, aligned) = skips[-(i + 1)]
+             sperm, ssort, splan, aligned) = skips[-(i + 1)]
             if _sorted_pool_enabled() and level.node_pool_perm is not None:
                 # unpool gather with a sorted-transpose backward (the raw
                 # gather's autodiff transpose is an unsorted scatter-add)
@@ -304,6 +308,7 @@ class BSMSConfig(MGNConfig):
             x, e = run_processor(params["up"][i], self.layer_cfg, x, e,
                                  senders, receivers, edge_mask,
                                  sender_perm=sperm, senders_sorted=ssort,
+                                 sender_plan=splan,
                                  remat=self.remat,
                                  remat_policy=self.remat_policy,
                                  aligned=aligned, unroll=self.unroll)

@@ -155,6 +155,7 @@ class MGNConfig:
             _cast(graph.edge_mask, self.compute_dtype),
             sender_perm=graph.sender_perm,
             senders_sorted=graph.senders_sorted,
+            sender_plan=graph.sender_plan,
             remat=self.remat,
             remat_policy=self.remat_policy,
             aligned=graph.edges_aligned,
@@ -175,7 +176,7 @@ def run_processor(stacked_layers, layer_cfg: B.MGNLayerConfig,
                   x: jax.Array, e: jax.Array,
                   senders: jax.Array, receivers: jax.Array,
                   edge_mask: jax.Array, *, sender_perm=None,
-                  senders_sorted=None, remat: bool = True,
+                  senders_sorted=None, sender_plan=None, remat: bool = True,
                   remat_policy: str = "save_fused", aligned: bool = False,
                   unroll: bool = False, remat_group: int = 0):
     """Scan the residual MP layer over stacked per-layer params.
@@ -197,7 +198,7 @@ def run_processor(stacked_layers, layer_cfg: B.MGNLayerConfig,
         x, e = carry
         x, e = B.mgn_layer_apply(
             layer_params, layer_cfg, x, e, senders, receivers, edge_mask,
-            sender_perm, senders_sorted, aligned)
+            sender_perm, senders_sorted, aligned, sender_plan=sender_plan)
         return (x, e), None
 
     if remat and remat_group > 1:

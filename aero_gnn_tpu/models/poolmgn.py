@@ -63,7 +63,8 @@ class PoolMGNConfig(MGNConfig):
             params["layers"], self.layer_cfg, x, e,
             graph.senders, graph.receivers, graph.edge_mask,
             sender_perm=graph.sender_perm,
-            senders_sorted=graph.senders_sorted, remat=self.remat,
+            senders_sorted=graph.senders_sorted,
+            sender_plan=graph.sender_plan, remat=self.remat,
             remat_policy=self.remat_policy, aligned=graph.edges_aligned,
             unroll=self.unroll)
         return M.mlp_apply(params["decoder"], x, activation=self.activation)

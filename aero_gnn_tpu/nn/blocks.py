@@ -70,9 +70,10 @@ def edge_block_apply(
     sender_perm: Optional[jax.Array] = None,
     senders_sorted: Optional[jax.Array] = None,
     aligned: bool = False,
+    sender_plan=None,
 ) -> jax.Array:
     x_src = ops.gather_senders(node_attr, senders, sender_perm,
-                               senders_sorted, aligned)
+                               senders_sorted, aligned, plan=sender_plan)
     x_dst = ops.gather_receivers(node_attr, receivers, aligned)
     edge_input = jnp.concatenate([edge_attr, x_src, x_dst], axis=-1)
     return M.mlp_apply(params, edge_input, activation=cfg.activation)
@@ -109,6 +110,7 @@ def edge_block_sum_pre(
     sender_perm: Optional[jax.Array] = None,
     senders_sorted: Optional[jax.Array] = None,
     aligned: bool = False,
+    sender_plan=None,
 ) -> jax.Array:
     """h0 = W_e e + (W_s x)[src] + (W_d x)[dst] + b — projections on [N,h]
     before the gather so the gather moves hidden-width rows only."""
@@ -117,7 +119,8 @@ def edge_block_sum_pre(
     d_proj = node_attr @ params["w_d"] + params["b"]
     return (e_proj
             + ops.gather_senders(s_proj, senders, sender_perm,
-                                 senders_sorted, aligned)
+                                 senders_sorted, aligned,
+                                 plan=sender_plan)
             + ops.gather_receivers(d_proj, receivers, aligned))
 
 
@@ -140,9 +143,11 @@ def edge_block_sum_apply(
     sender_perm: Optional[jax.Array] = None,
     senders_sorted: Optional[jax.Array] = None,
     aligned: bool = False,
+    sender_plan=None,
 ) -> jax.Array:
     h0 = edge_block_sum_pre(params, edge_attr, node_attr, senders, receivers,
-                            sender_perm, senders_sorted, aligned)
+                            sender_perm, senders_sorted, aligned,
+                            sender_plan=sender_plan)
     return edge_block_sum_post(params, h0, cfg)
 
 
@@ -278,7 +283,7 @@ def _mega_layer_ok(params, cfg: MGNLayerConfig, node_attr) -> bool:
 
 def _mgn_layer_fused(params, cfg: MGNLayerConfig, node_attr, edge_attr,
                      senders, receivers, edge_mask, sender_perm,
-                     senders_sorted):
+                     senders_sorted, sender_plan=None):
     # (only reached when _fused_layer_ok: the streams are block-aligned)
     """Pallas fused path: whole edge-MLP chain + residual + receiver-side
     gather + aggregation in one kernel (ops.pallas_fused); node update
@@ -295,7 +300,7 @@ def _mgn_layer_fused(params, cfg: MGNLayerConfig, node_attr, edge_attr,
     d_proj = checkpoint_name(node_attr @ p["w_d"] + p["b"], "mgn_dproj")
     sg = checkpoint_name(
         ops.gather_senders(s_proj, senders, sender_perm, senders_sorted,
-                           aligned=True),
+                           aligned=True, plan=sender_plan),
         "mgn_sg")
     ws = (jnp.stack([s["w"] for s in p["stack"][:-1]])
           if len(p["stack"]) > 1
@@ -339,6 +344,7 @@ def mgn_layer_apply(
     sender_perm: Optional[jax.Array] = None,
     senders_sorted: Optional[jax.Array] = None,
     aligned: bool = False,
+    sender_plan=None,
 ):
     """One processor step; returns (node_attr', edge_attr').
 
@@ -350,15 +356,15 @@ def mgn_layer_apply(
                                 aligned)):
         return _mgn_layer_fused(params, cfg, node_attr, edge_attr,
                                 senders, receivers, edge_mask,
-                                sender_perm, senders_sorted)
+                                sender_perm, senders_sorted, sender_plan)
     if cfg.do_concat_trick:
         delta_e = edge_block_sum_apply(
             params["edge"], cfg, edge_attr, node_attr, senders, receivers,
-            sender_perm, senders_sorted, aligned)
+            sender_perm, senders_sorted, aligned, sender_plan=sender_plan)
     else:
         delta_e = edge_block_apply(
             params["edge"], cfg, edge_attr, node_attr, senders, receivers,
-            sender_perm, senders_sorted, aligned)
+            sender_perm, senders_sorted, aligned, sender_plan=sender_plan)
     edge_attr = edge_attr + delta_e
     delta_n = node_block_apply(
         params["node"], cfg, node_attr, edge_attr, receivers, edge_mask,

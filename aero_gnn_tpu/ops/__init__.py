@@ -15,6 +15,9 @@ from typing import Optional
 import jax
 
 from aero_gnn_tpu.ops.scatter import (  # noqa: F401
+    PermGatherPlan,
+    banded_perm_gather,
+    build_perm_gather_plan,
     degree,
     gather,
     gather_receivers,

@@ -20,11 +20,13 @@ destination rows are zeros). The Pallas fused versions live in
 
 from __future__ import annotations
 
+import dataclasses
 from functools import partial
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def gather(values: jax.Array, indices: jax.Array) -> jax.Array:
@@ -144,16 +146,113 @@ def graph_broadcast(graph_values: jax.Array, node_graph: jax.Array) -> jax.Array
 # ---------------------------------------------------------------------------
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class PermGatherPlan:
+    """Host-precomputed banded decomposition of ``ct[perm]`` (the sender
+    backward's [E, h] permutation gather).
+
+    XLA's row gather runs at ~540M rows/s while its staging stays small but
+    collapses ~6x once the source exceeds ~100 MB (measured: the 262k-node
+    bench's per-layer sender backward goes 1.9 -> 11.2 ms,
+    benchmarks/micro_permgather.py). A mesh's sender perm is strongly banded
+    (receiver-sorted edge rows of one sender cluster spatially: |src - dst|
+    p50/p99 = 7 / 11k rows on the 262k mesh), so the gather is re-expressed
+    as K output chunks, each reading a ``window``-row dynamic slice of the
+    source — small enough that the chunk gather stays in the fast regime —
+    plus a tiny outlier fixup that joins AFTER the segment reduction (the
+    sum is linear, so routing outliers around the sorted stream is exact up
+    to fp ordering). Built by ``build_perm_gather_plan``.
+    """
+
+    lo: jax.Array        # i32[K]    window start row per chunk
+    idx: jax.Array       # i32[K, C] in-window row per output slot (clamped)
+    mask: jax.Array      # f32[K, C] 1.0 = in-window real edge slot
+    out_src: jax.Array   # i32[S]    source rows of out-of-window slots
+    out_seg: jax.Array   # i32[S]    their (ascending) sender segment ids
+    out_mask: jax.Array  # f32[S]    1.0 = real outlier, 0 = padding
+    window: int = dataclasses.field(metadata=dict(static=True))
+
+
+def build_perm_gather_plan(perm: np.ndarray, keys: np.ndarray,
+                           valid: np.ndarray, num_src_rows: int,
+                           pad_seg: int, *, chunk: int, window: int,
+                           max_outlier_frac: float = 0.05
+                           ) -> Optional[PermGatherPlan]:
+    """Build a banded plan for ``ct[perm]`` followed by a segment sum over
+    ``keys`` (ascending). ``valid`` marks slots whose source row carries a
+    real (non-pad) edge — invalid slots contribute exact zeros either way.
+    Returns None when the decomposition does not apply (stream not a chunk
+    multiple, window >= source, or too many outliers to pay off)."""
+    perm = np.asarray(perm, dtype=np.int64)
+    keys = np.asarray(keys)
+    valid = np.asarray(valid, dtype=bool)
+    es = len(perm)
+    if es % chunk or es // chunk < 2 or window >= num_src_rows:
+        return None
+    k_chunks = es // chunk
+    src = perm.reshape(k_chunks, chunk)
+    v = valid.reshape(k_chunks, chunk)
+    lo = np.zeros(k_chunks, np.int32)
+    idx = np.zeros((k_chunks, chunk), np.int32)
+    mask = np.zeros((k_chunks, chunk), np.float32)
+    out_pos = []
+    hi_cap = max(num_src_rows - window, 0)
+    for k in range(k_chunks):
+        s, vk = src[k], v[k]
+        center = int(np.median(s[vk])) if vk.any() else 0
+        lo_k = min(max(center - window // 2, 0), hi_cap)
+        inl = vk & (s >= lo_k) & (s < lo_k + window)
+        lo[k] = lo_k
+        idx[k] = np.clip(s - lo_k, 0, window - 1)
+        mask[k] = inl
+        bad = np.flatnonzero(vk & ~inl) + k * chunk
+        if len(bad):
+            out_pos.append(bad)
+    out_pos = (np.concatenate(out_pos) if out_pos
+               else np.zeros(0, np.int64))
+    if len(out_pos) > max_outlier_frac * es:
+        return None
+    s_pad = max(512, -(-len(out_pos) // 512) * 512)
+    out_src = np.zeros(s_pad, np.int32)
+    out_seg = np.full(s_pad, pad_seg, np.int32)
+    out_mask = np.zeros(s_pad, np.float32)
+    out_src[: len(out_pos)] = perm[out_pos]
+    out_seg[: len(out_pos)] = keys[out_pos]
+    out_mask[: len(out_pos)] = 1.0
+    return PermGatherPlan(
+        lo=jnp.asarray(lo), idx=jnp.asarray(idx), mask=jnp.asarray(mask),
+        out_src=jnp.asarray(out_src), out_seg=jnp.asarray(out_seg),
+        out_mask=jnp.asarray(out_mask), window=int(window))
+
+
+def banded_perm_gather(ct: jax.Array, plan: PermGatherPlan) -> jax.Array:
+    """``ct[perm]`` with out-of-window slots zeroed (their contribution is
+    re-added after the segment reduction — see PermGatherPlan)."""
+    k_chunks, chunk = plan.idx.shape
+    h = ct.shape[1]
+
+    def body(carry, ins):
+        lo_k, idx_k, m_k = ins
+        win = jax.lax.dynamic_slice(ct, (lo_k, jnp.zeros_like(lo_k)),
+                                    (plan.window, h))
+        rows = win.at[idx_k].get(mode="promise_in_bounds")
+        return carry, rows * m_k[:, None].astype(rows.dtype)
+
+    _, out = jax.lax.scan(body, 0, (plan.lo, plan.idx, plan.mask))
+    return out.reshape(k_chunks * chunk, h)
+
+
 @partial(jax.custom_vjp, nondiff_argnums=(0, 1))
 def _gather_senders_impl(num_nodes: int, aligned: bool, x, senders,
-                         sender_perm, senders_sorted):
+                         sender_perm, senders_sorted, plan):
     return x.at[senders].get(mode="promise_in_bounds")
 
 
 def _gather_senders_fwd(num_nodes, aligned, x, senders, sender_perm,
-                        senders_sorted):
+                        senders_sorted, plan):
     out = x.at[senders].get(mode="promise_in_bounds")
-    return out, (senders, sender_perm, senders_sorted)
+    return out, (senders, sender_perm, senders_sorted, plan)
 
 
 def _dispatch_sorted_segment_sum(data, segment_ids, num_segments,
@@ -173,29 +272,41 @@ def _dispatch_sorted_segment_sum(data, segment_ids, num_segments,
 
 
 def _gather_senders_bwd(num_nodes, aligned, res, ct):
-    senders, sender_perm, senders_sorted = res
+    senders, sender_perm, senders_sorted, plan = res
+    if plan is not None:
+        ct_sorted = banded_perm_gather(ct, plan)
+        dx = _dispatch_sorted_segment_sum(ct_sorted, senders_sorted,
+                                          num_nodes, aligned)
+        g = ct.at[plan.out_src].get(mode="promise_in_bounds")
+        dx = dx + jax.ops.segment_sum(
+            g * plan.out_mask[:, None].astype(g.dtype), plan.out_seg,
+            num_segments=num_nodes, indices_are_sorted=True)
+        return dx, None, None, None, None
     ct_sorted = ct.at[sender_perm].get(mode="promise_in_bounds")
     dx = _dispatch_sorted_segment_sum(ct_sorted, senders_sorted, num_nodes,
                                       aligned)
-    return dx, None, None, None
+    return dx, None, None, None, None
 
 
 _gather_senders_impl.defvjp(_gather_senders_fwd, _gather_senders_bwd)
 
 
 def gather_senders(x, senders, sender_perm=None, senders_sorted=None,
-                   aligned: bool = False):
+                   aligned: bool = False, plan: Optional[PermGatherPlan] = None):
     """``x[senders]`` whose backward is a sorted segment-sum.
 
     ``sender_perm`` sorts edges by sender; ``senders_sorted`` = the sender
     ids in that order. Falls back to the plain gather when absent.
     ``aligned`` declares the sender-sorted stream block-aligned
     (build_graph_batch(align_edges=True)) and gates the Pallas backward.
+    ``plan`` (optional, GraphBatch.sender_plan) routes the backward's
+    [E, h] permutation gather through the banded window decomposition —
+    ~4x on meshes whose edge stream exceeds XLA's fast-gather regime.
     """
     if sender_perm is None or senders_sorted is None:
         return gather(x, senders)
     return _gather_senders_impl(x.shape[0], aligned, x, senders,
-                                sender_perm, senders_sorted)
+                                sender_perm, senders_sorted, plan)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(0,))
