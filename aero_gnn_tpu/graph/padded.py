@@ -280,7 +280,7 @@ def build_graph_batch(
         sender_perm, senders_sorted = _align_sender_stream(
             sender_perm, senders_sorted, edge_mask, np_pad)
         sender_plan, sender_perm, senders_sorted = _maybe_perm_gather_plan(
-            sender_perm, senders_sorted, edge_mask, ep_pad, np_pad)
+            sender_perm, senders_sorted, edge_mask, ep_pad, np_pad, s_p)
 
     gb = GraphBatch(
         senders=jnp.asarray(s_p),
@@ -370,7 +370,7 @@ def _offsets(graphs: list) -> list:
 
 
 def _maybe_perm_gather_plan(sender_perm, senders_sorted, edge_mask,
-                            num_src_rows, num_nodes_pad):
+                            num_src_rows, num_nodes_pad, senders):
     """Attach a banded PermGatherPlan to large sender streams.
 
     XLA's [E, h] permutation gather (the sender backward) leaves its fast
@@ -391,30 +391,85 @@ def _maybe_perm_gather_plan(sender_perm, senders_sorted, edge_mask,
     chunk = int(os.environ.get("AERO_GNN_PG_CHUNK", 65536))
     window = int(os.environ.get("AERO_GNN_PG_WIN", 98304))
     min_edges = int(os.environ.get("AERO_GNN_PG_MIN_EDGES", 393216))
-    if mode != "1" and num_src_rows < min_edges:
-        return None, sender_perm, senders_sorted
+    # forward plan engages when the NODE table leaves the fast regime
+    # (~100 MB bf16 at h=128); its window counts node rows
+    fwd_min_nodes = int(os.environ.get("AERO_GNN_PGF_MIN_NODES", 393216))
+    fwd_window = int(os.environ.get("AERO_GNN_PGF_WIN", 98304))
     if chunk % ALIGN_EDGE_TILE:
         return None, sender_perm, senders_sorted
     masked_rows = np.nonzero(edge_mask == 0.0)[0]
     if len(masked_rows) == 0:
         return None, sender_perm, senders_sorted
-    pad_row = np.int32(masked_rows[-1])
-    tail = (-len(sender_perm)) % chunk
-    perm = np.concatenate(
-        [sender_perm, np.full(tail, pad_row, np.int32)]) \
-        if tail else sender_perm
-    keys = np.concatenate(
-        [senders_sorted,
-         np.full(tail, num_nodes_pad - 1, senders_sorted.dtype)]) \
-        if tail else senders_sorted
-    valid = edge_mask[perm] > 0
-    from aero_gnn_tpu.ops.scatter import build_perm_gather_plan
-    plan = build_perm_gather_plan(
-        perm, keys, valid, num_src_rows, num_nodes_pad - 1,
-        chunk=chunk, window=window)
-    if plan is None:
-        return None, sender_perm, senders_sorted
-    return plan, perm.astype(np.int32), keys
+
+    from aero_gnn_tpu.ops.scatter import (
+        SenderPlans, build_banded_gather_plan, build_perm_gather_plan)
+
+    bwd = None
+    perm, keys = sender_perm, senders_sorted
+    if mode == "1" or num_src_rows >= min_edges:
+        pad_row = np.int32(masked_rows[-1])
+        tail = (-len(sender_perm)) % chunk
+        perm = np.concatenate(
+            [sender_perm, np.full(tail, pad_row, np.int32)]) \
+            if tail else sender_perm
+        keys = np.concatenate(
+            [senders_sorted,
+             np.full(tail, num_nodes_pad - 1, senders_sorted.dtype)]) \
+            if tail else senders_sorted
+        valid = edge_mask[perm] > 0
+        bwd = build_perm_gather_plan(
+            perm, keys, valid, num_src_rows, num_nodes_pad - 1,
+            chunk=chunk, window=window)
+        if bwd is None:
+            perm, keys = sender_perm, senders_sorted
+
+    fwd = None
+    fwd_mode = os.environ.get("AERO_GNN_PGF", "auto")
+    if fwd_mode != "0" and (
+            fwd_mode == "1" or mode == "1"
+            or num_nodes_pad >= fwd_min_nodes):
+        # the receiver stream's length is fixed (everything keys off it),
+        # so the fwd chunk must DIVIDE it: pick the tile-count divisor
+        # closest to the swept 64k-row optimum (AERO_GNN_PGF_CHUNK forces
+        # an exact value, used by tests)
+        forced = os.environ.get("AERO_GNN_PGF_CHUNK")
+        if forced is not None:
+            fwd_chunk = int(forced) if len(senders) % int(forced) == 0 \
+                else None
+        else:
+            fwd_chunk = _pick_divisor_chunk(len(senders), ALIGN_EDGE_TILE)
+        if fwd_chunk is not None:
+            # pad edges point at the last pad node — far from any window —
+            # but their gathered rows are never observable (every consumer
+            # masks by edge_mask), so they are don't-care slots, not
+            # outliers
+            fwd = build_banded_gather_plan(
+                senders, edge_mask > 0, num_nodes_pad,
+                chunk=fwd_chunk, window=fwd_window)
+
+    if bwd is None and fwd is None:
+        return None, perm.astype(np.int32), keys
+    return SenderPlans(bwd=bwd, fwd=fwd), perm.astype(np.int32), keys
+
+
+def _pick_divisor_chunk(n_rows: int, tile: int,
+                        lo: int = 16384, hi: int = 131072,
+                        target: int = 65536):
+    """Largest-utility chunk size: a multiple of ``tile`` that divides
+    ``n_rows``, within [lo, hi], closest to ``target``; None if none."""
+    if n_rows % tile:
+        return None
+    n_tiles = n_rows // tile
+    best = None
+    for d in range(1, n_tiles + 1):
+        if n_tiles % d:
+            continue
+        c = d * tile
+        if c < lo or c > hi:
+            continue
+        if best is None or abs(c - target) < abs(best - target):
+            best = c
+    return best
 
 
 def _align_sender_stream(sender_perm, senders_sorted, edge_mask,

@@ -15,8 +15,12 @@ from typing import Optional
 import jax
 
 from aero_gnn_tpu.ops.scatter import (  # noqa: F401
+    BandedGatherPlan,
     PermGatherPlan,
+    SenderPlans,
+    banded_gather,
     banded_perm_gather,
+    build_banded_gather_plan,
     build_perm_gather_plan,
     degree,
     gather,

@@ -226,6 +226,104 @@ def build_perm_gather_plan(perm: np.ndarray, keys: np.ndarray,
         out_mask=jnp.asarray(out_mask), window=int(window))
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class BandedGatherPlan:
+    """Banded decomposition of a FORWARD row gather ``table[indices]``
+    (e.g. the sender gather x_proj[senders]) for tables past XLA's
+    fast-gather regime (>= ~100 MB: the 524k/1M-node meshes).
+
+    Output chunks read a ``window``-row dynamic slice of the table;
+    out-of-window slots (rare: mesh senders are Morton-local in the
+    receiver-sorted stream) are patched by a small per-chunk scatter of
+    globally-gathered rows. Slots marked invalid at build time (pad edges,
+    whose gathered rows are never observable — every consumer masks by
+    edge_mask) read an arbitrary in-window row instead.
+    """
+
+    lo: jax.Array       # i32[K]     window start (table rows) per chunk
+    idx: jax.Array      # i32[K, C]  window-local row per output slot
+    out_pos: jax.Array  # i32[K, S]  chunk-local slot to patch (C = none)
+    out_src: jax.Array  # i32[K, S]  global table row for the patch
+    window: int = dataclasses.field(metadata=dict(static=True))
+
+
+def build_banded_gather_plan(indices: np.ndarray, valid: np.ndarray,
+                             num_table_rows: int, *, chunk: int,
+                             window: int, max_outlier_frac: float = 0.05
+                             ) -> Optional[BandedGatherPlan]:
+    """Build a BandedGatherPlan for ``table[indices]``. ``valid`` marks
+    slots whose value is observable (invalid slots may read garbage).
+    Returns None when the stream is not a chunk multiple, the window does
+    not shrink the table, or too many slots fall outside their window."""
+    indices = np.asarray(indices, dtype=np.int64)
+    valid = np.asarray(valid, dtype=bool)
+    es = len(indices)
+    if es % chunk or es // chunk < 2 or window >= num_table_rows:
+        return None
+    k_chunks = es // chunk
+    src = indices.reshape(k_chunks, chunk)
+    v = valid.reshape(k_chunks, chunk)
+    lo = np.zeros(k_chunks, np.int32)
+    idx = np.zeros((k_chunks, chunk), np.int32)
+    hi_cap = max(num_table_rows - window, 0)
+    out_pos, out_src, total_out = [], [], 0
+    for k in range(k_chunks):
+        s, vk = src[k], v[k]
+        center = int(np.median(s[vk])) if vk.any() else 0
+        lo_k = min(max(center - window // 2, 0), hi_cap)
+        lo[k] = lo_k
+        idx[k] = np.clip(s - lo_k, 0, window - 1)
+        bad = np.flatnonzero(vk & ((s < lo_k) | (s >= lo_k + window)))
+        out_pos.append(bad)
+        out_src.append(s[bad])
+        total_out += len(bad)
+    if total_out > max_outlier_frac * es:
+        return None
+    s_pad = max(8, -(-max(len(p) for p in out_pos) // 8) * 8)
+    pos = np.full((k_chunks, s_pad), chunk, np.int32)  # chunk = dropped
+    srcs = np.zeros((k_chunks, s_pad), np.int32)
+    for k in range(k_chunks):
+        pos[k, : len(out_pos[k])] = out_pos[k]
+        srcs[k, : len(out_src[k])] = out_src[k]
+    return BandedGatherPlan(
+        lo=jnp.asarray(lo), idx=jnp.asarray(idx),
+        out_pos=jnp.asarray(pos), out_src=jnp.asarray(srcs),
+        window=int(window))
+
+
+def banded_gather(table: jax.Array, plan: BandedGatherPlan) -> jax.Array:
+    """``table[indices]`` via windowed chunk gathers + outlier patches."""
+    k_chunks, chunk = plan.idx.shape
+    h = table.shape[1]
+
+    def body(carry, ins):
+        lo_k, idx_k, pos_k, src_k = ins
+        win = jax.lax.dynamic_slice(table, (lo_k, jnp.zeros_like(lo_k)),
+                                    (plan.window, h))
+        rows = win.at[idx_k].get(mode="promise_in_bounds")
+        fix = table.at[src_k].get(mode="promise_in_bounds")
+        rows = rows.at[pos_k].set(fix, mode="drop",
+                                  indices_are_sorted=True)
+        return carry, rows
+
+    _, out = jax.lax.scan(
+        body, 0, (plan.lo, plan.idx, plan.out_pos, plan.out_src))
+    return out.reshape(k_chunks * chunk, h)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class SenderPlans:
+    """Bundle of banded-gather plans for one sender stream: ``bwd`` covers
+    the backward's [E, h] permutation gather (PermGatherPlan), ``fwd`` the
+    forward's [N, h] -> [E, h] sender gather (BandedGatherPlan). Either may
+    be None (plain XLA gather). GraphBatch.sender_plan carries this."""
+
+    bwd: Optional[PermGatherPlan] = None
+    fwd: Optional[BandedGatherPlan] = None
+
+
 def banded_perm_gather(ct: jax.Array, plan: PermGatherPlan) -> jax.Array:
     """``ct[perm]`` with out-of-window slots zeroed (their contribution is
     re-added after the segment reduction — see PermGatherPlan)."""
@@ -243,15 +341,21 @@ def banded_perm_gather(ct: jax.Array, plan: PermGatherPlan) -> jax.Array:
     return out.reshape(k_chunks * chunk, h)
 
 
+def _sender_gather_fwd_impl(x, senders, plan):
+    if plan is not None and plan.fwd is not None:
+        return banded_gather(x, plan.fwd)
+    return x.at[senders].get(mode="promise_in_bounds")
+
+
 @partial(jax.custom_vjp, nondiff_argnums=(0, 1))
 def _gather_senders_impl(num_nodes: int, aligned: bool, x, senders,
                          sender_perm, senders_sorted, plan):
-    return x.at[senders].get(mode="promise_in_bounds")
+    return _sender_gather_fwd_impl(x, senders, plan)
 
 
 def _gather_senders_fwd(num_nodes, aligned, x, senders, sender_perm,
                         senders_sorted, plan):
-    out = x.at[senders].get(mode="promise_in_bounds")
+    out = _sender_gather_fwd_impl(x, senders, plan)
     return out, (senders, sender_perm, senders_sorted, plan)
 
 
@@ -273,13 +377,14 @@ def _dispatch_sorted_segment_sum(data, segment_ids, num_segments,
 
 def _gather_senders_bwd(num_nodes, aligned, res, ct):
     senders, sender_perm, senders_sorted, plan = res
-    if plan is not None:
-        ct_sorted = banded_perm_gather(ct, plan)
+    if plan is not None and plan.bwd is not None:
+        pb = plan.bwd
+        ct_sorted = banded_perm_gather(ct, pb)
         dx = _dispatch_sorted_segment_sum(ct_sorted, senders_sorted,
                                           num_nodes, aligned)
-        g = ct.at[plan.out_src].get(mode="promise_in_bounds")
+        g = ct.at[pb.out_src].get(mode="promise_in_bounds")
         dx = dx + jax.ops.segment_sum(
-            g * plan.out_mask[:, None].astype(g.dtype), plan.out_seg,
+            g * pb.out_mask[:, None].astype(g.dtype), pb.out_seg,
             num_segments=num_nodes, indices_are_sorted=True)
         return dx, None, None, None, None
     ct_sorted = ct.at[sender_perm].get(mode="promise_in_bounds")
@@ -292,16 +397,17 @@ _gather_senders_impl.defvjp(_gather_senders_fwd, _gather_senders_bwd)
 
 
 def gather_senders(x, senders, sender_perm=None, senders_sorted=None,
-                   aligned: bool = False, plan: Optional[PermGatherPlan] = None):
+                   aligned: bool = False, plan: Optional[SenderPlans] = None):
     """``x[senders]`` whose backward is a sorted segment-sum.
 
     ``sender_perm`` sorts edges by sender; ``senders_sorted`` = the sender
     ids in that order. Falls back to the plain gather when absent.
     ``aligned`` declares the sender-sorted stream block-aligned
     (build_graph_batch(align_edges=True)) and gates the Pallas backward.
-    ``plan`` (optional, GraphBatch.sender_plan) routes the backward's
-    [E, h] permutation gather through the banded window decomposition —
-    ~4x on meshes whose edge stream exceeds XLA's fast-gather regime.
+    ``plan`` (optional, GraphBatch.sender_plan — a SenderPlans bundle)
+    routes the backward's [E, h] permutation gather and/or the forward's
+    [N, h] sender gather through the banded window decomposition — ~4x on
+    streams past XLA's fast-gather regime (>= ~100 MB source).
     """
     if sender_perm is None or senders_sorted is None:
         return gather(x, senders)

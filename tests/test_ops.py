@@ -176,11 +176,12 @@ class TestSortedTransposeVJPs:
         senders = rng.integers(0, n, size=e).astype(np.int32)
         perm = np.argsort(senders, kind="stable").astype(np.int32)
         ss = senders[perm]
-        plan = ops.build_perm_gather_plan(
+        bwd = ops.build_perm_gather_plan(
             perm, ss, np.ones(e, bool), e, n - 1, chunk=512, window=1024,
             max_outlier_frac=1.0)
-        assert plan is not None
-        assert int(plan.out_mask.sum()) > 0  # random perm -> real outliers
+        assert bwd is not None
+        assert int(bwd.out_mask.sum()) > 0  # random perm -> real outliers
+        plan = ops.SenderPlans(bwd=bwd, fwd=None)
         x = jnp.asarray(rng.standard_normal((n, d)).astype(np.float32))
         w = jnp.asarray(rng.standard_normal((e, d)).astype(np.float32))
 
@@ -212,10 +213,14 @@ class TestSortedTransposeVJPs:
         monkeypatch.setenv("AERO_GNN_PG", "1")
         monkeypatch.setenv("AERO_GNN_PG_CHUNK", "1024")
         monkeypatch.setenv("AERO_GNN_PG_WIN", "2048")
+        monkeypatch.setenv("AERO_GNN_PGF_CHUNK", "1024")
+        monkeypatch.setenv("AERO_GNN_PGF_WIN", "512")
         gb_plan = P.build_graph_batch(**g, align_edges=True)
         monkeypatch.setenv("AERO_GNN_PG", "0")
         gb_plain = P.build_graph_batch(**g, align_edges=True)
         assert gb_plan.sender_plan is not None
+        assert gb_plan.sender_plan.bwd is not None
+        assert gb_plan.sender_plan.fwd is not None  # fwd banded gather too
         assert gb_plain.sender_plan is None
 
         cfg = MGNConfig(input_node_dim=6, input_edge_dim=3,
