@@ -215,6 +215,23 @@ def _assign_stride(pos: np.ndarray, node_graph: np.ndarray,
     return fine_to_coarse, coarse_node_graph, rep_mask
 
 
+def _csr_expand(front: np.ndarray, indptr: np.ndarray, deg: np.ndarray,
+                r_sorted: np.ndarray) -> tuple:
+    """Concatenate the CSR adjacency rows of ``front`` without a Python
+    loop. Returns (neighbors, owner) where owner[k] is the index into
+    ``front`` whose row produced neighbors[k]."""
+    cnt = deg[front]
+    total = int(cnt.sum())
+    if total == 0:
+        return (np.empty(0, dtype=r_sorted.dtype),
+                np.empty(0, dtype=np.int64))
+    excl = np.cumsum(cnt) - cnt  # exclusive prefix per frontier row
+    base = np.repeat(indptr[front] - excl, cnt)
+    nbrs = r_sorted[base + np.arange(total)]
+    owner = np.repeat(np.arange(len(front), dtype=np.int64), cnt)
+    return nbrs, owner
+
+
 def _assign_bistride(senders: np.ndarray, receivers: np.ndarray,
                      node_graph: np.ndarray, num_nodes: int) -> tuple:
     """Bi-stride assignment: BFS 2-coloring per graph; kept (even-frontier)
@@ -223,8 +240,11 @@ def _assign_bistride(senders: np.ndarray, receivers: np.ndarray,
     node itself (each coarse node IS a fine node, the WeightedEdgeConv
     selection point).
 
-    Deterministic: seeds at the min-degree lowest-index node; neighbor scans
-    in index order (CSR).
+    Deterministic: seeds at the min-degree lowest-index node; a node's color
+    is the parity of its BFS distance from its component's seed. Fully
+    vectorized frontier BFS (O(diameter) numpy steps, no per-node Python) —
+    the per-node-loop version took minutes at 10^6-node meshes; kept
+    equivalent by tests/test_models.py's matrix-power distance oracle.
     """
     # CSR adjacency
     order = np.argsort(senders, kind="stable")
@@ -237,24 +257,23 @@ def _assign_bistride(senders: np.ndarray, receivers: np.ndarray,
     color = np.full(num_nodes, -1, dtype=np.int64)  # 0 = kept, 1 = dropped
     for gid in np.unique(node_graph):
         nodes = np.nonzero(node_graph == gid)[0]
-        unvisited = set(nodes.tolist())
-        while unvisited:
+        remaining = nodes
+        while len(remaining):
             # min-degree, lowest-index seed in this component
-            seed = min(unvisited, key=lambda v: (deg[v], v))
-            frontier = [seed]
+            dmin = deg[remaining].min()
+            seed = int(remaining[deg[remaining] == dmin].min())
             color[seed] = 0
-            unvisited.discard(seed)
-            level = 0
-            while frontier:
-                nxt = []
-                for v in frontier:
-                    for u in r_sorted[indptr[v]:indptr[v + 1]]:
-                        if color[u] == -1:
-                            color[u] = (level + 1) % 2
-                            unvisited.discard(int(u))
-                            nxt.append(int(u))
-                frontier = nxt
-                level += 1
+            frontier = np.array([seed], dtype=np.int64)
+            parity = 0
+            while len(frontier):
+                nbrs, _ = _csr_expand(frontier, indptr, deg, r_sorted)
+                nbrs = nbrs[color[nbrs] == -1]
+                if not len(nbrs):
+                    break
+                frontier = np.unique(nbrs)
+                parity ^= 1
+                color[frontier] = parity
+            remaining = remaining[color[remaining] == -1]
     kept = np.nonzero(color == 0)[0]
     # coarse ids ordered by (graph, node index) to keep node_graph sorted
     coarse_id_of = np.full(num_nodes, -1, dtype=np.int64)
@@ -264,27 +283,39 @@ def _assign_bistride(senders: np.ndarray, receivers: np.ndarray,
 
     fine_to_coarse = np.full(num_nodes, -1, dtype=np.int64)
     fine_to_coarse[kept] = coarse_id_of[kept]
-    # attach dropped nodes to their first kept neighbor (index order);
-    # isolated dropped nodes (shouldn't exist on connected meshes) self-keep
+    # attach each dropped node to its minimum-index kept neighbor —
+    # vectorized as a per-row CSR min-reduction (the per-dropped-node
+    # Python loop was the other 10^6-scale hot spot)
     dropped = np.nonzero(color != 0)[0]
-    for v in dropped:
-        nbrs = r_sorted[indptr[v]:indptr[v + 1]]
-        kept_nbrs = nbrs[color[nbrs] == 0]
-        if len(kept_nbrs):
-            fine_to_coarse[v] = coarse_id_of[kept_nbrs.min()]
-        else:
-            # degenerate (isolated dropped node): attach to the first coarse
-            # node of the SAME graph — coarse_node_graph is sorted, so
-            # searchsorted finds that graph's first coarse id. Falling back to
-            # global node 0 would silently leak features across graphs in a
-            # batch.
-            g = node_graph[v]
-            first_in_graph = int(np.searchsorted(coarse_node_graph, g))
-            if first_in_graph >= len(coarse_node_graph) or \
-                    coarse_node_graph[first_in_graph] != g:
+    if len(dropped):
+        nbrs, owner = _csr_expand(dropped, indptr, deg, r_sorted)
+        val = np.where(color[nbrs] == 0, nbrs, num_nodes)
+        best = np.full(len(dropped), num_nodes, dtype=np.int64)
+        cnt = deg[dropped]
+        nz = cnt > 0
+        if len(val):
+            # contiguous segments: reduceat over the non-empty rows' starts
+            starts = (np.cumsum(cnt) - cnt)[nz]
+            best[nz] = np.minimum.reduceat(val, starts)
+        has = best < num_nodes
+        fine_to_coarse[dropped[has]] = coarse_id_of[best[has]]
+        # degenerate (isolated dropped nodes, shouldn't exist on connected
+        # meshes): attach to the first coarse node of the SAME graph —
+        # coarse_node_graph is sorted, so searchsorted finds that graph's
+        # first coarse id. Falling back to global node 0 would silently
+        # leak features across graphs in a batch.
+        iso = dropped[~has]
+        if len(iso):
+            g = node_graph[iso]
+            first_in_graph = np.searchsorted(coarse_node_graph, g)
+            bad = (first_in_graph >= len(coarse_node_graph))
+            ok_idx = np.where(bad, 0, first_in_graph)
+            bad |= coarse_node_graph[ok_idx] != g
+            if bad.any():
                 raise ValueError(
-                    f"bistride pooling: graph {g} kept no coarse nodes")
-            fine_to_coarse[v] = first_in_graph
+                    f"bistride pooling: graph {g[bad][0]} kept no "
+                    "coarse nodes")
+            fine_to_coarse[iso] = first_in_graph
     rep_mask = np.zeros(num_nodes, dtype=np.float64)
     rep_mask[kept] = 1.0
     return fine_to_coarse, coarse_node_graph, rep_mask

@@ -22,18 +22,38 @@ import jax
 
 def initialize(coordinator_address: Optional[str] = None,
                num_processes: Optional[int] = None,
-               process_id: Optional[int] = None) -> None:
-    """Idempotent jax.distributed bring-up (no-op when single-process)."""
+               process_id: Optional[int] = None,
+               initialization_timeout: Optional[int] = None) -> None:
+    """Idempotent jax.distributed bring-up (no-op when single-process).
+
+    When the caller passes an EXPLICIT cluster spec (coordinator address or
+    process count), a bring-up failure raises — silently degrading to
+    single-process training with a wrong coordinator address would psum
+    over one host and produce wrong results without a word. Only the
+    auto-detect path (no arguments, e.g. single-host dev runs without
+    cluster env) is allowed to fall through, plus re-initialization.
+    """
     if num_processes == 1:
         return
+    explicit = coordinator_address is not None or (
+        num_processes is not None and num_processes > 1)
+    kwargs = {}
+    if initialization_timeout is not None:
+        kwargs["initialization_timeout"] = initialization_timeout
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
-            process_id=process_id)
-    except (RuntimeError, ValueError):
-        # already initialized, or single-host without cluster env
-        pass
+            process_id=process_id, **kwargs)
+    except RuntimeError as err:
+        if "already initialized" in str(err).lower():
+            return
+        if explicit:
+            raise
+    except ValueError:
+        if explicit:
+            raise
+        # single-host without cluster env: auto-detect found nothing
 
 
 def is_primary() -> bool:
