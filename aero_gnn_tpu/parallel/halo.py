@@ -323,7 +323,8 @@ def partition_graph_halo_split(
     edges_int_rows=None,
     edges_bnd_rows=None,
     align_interior: bool = False,
-) -> HaloSplitGraph:
+    edge_aux: Optional[np.ndarray] = None,
+):
     """partition_graph_halo with interior/boundary edge streams (see
     HaloSplitGraph). Fully vectorized (no per-edge Python loops).
 
@@ -337,7 +338,14 @@ def partition_graph_halo_split(
     of ALIGN_NODE_BLOCK blocks and block-aligns the interior edge streams,
     so the fused Pallas edge/node kernels run on the per-shard interior
     compute (the dominant cost on a pod) — the boundary stream stays on
-    XLA (O(surface), tiny)."""
+    XLA (O(surface), tiny).
+
+    ``edge_aux`` optionally carries EXTRA per-edge columns (f64 [E, K],
+    e.g. hierarchy edge_to_coarse ids / WeightedEdgeConv weights) through
+    exactly the same permutation/padding/alignment as edge_attr. Padded
+    and alignment slots get 0. Returns (graph, aux_int [P, Ei, K],
+    aux_bnd [P, Eb, K]) instead of just the graph. f64 keeps integer ids
+    exact (f32 payload columns would silently round ids above 2^24)."""
     n = x.shape[0]
     order, new_of_old, n_local = _assign_parts(pos, n, num_parts)
     s_new = new_of_old[senders]
@@ -350,41 +358,57 @@ def partition_graph_halo_split(
         halo_rows=halo_rows)
 
     interior = owner_s == owner_r
+    de = edge_attr.shape[1]
+    pack_dtype = dtype
+    ea_full = edge_attr
+    if edge_aux is not None:
+        # thread the aux columns through the exact same perm/pad/alignment
+        # as edge_attr; f64 keeps integer ids exact, f32->f64->f32 features
+        # round-trip exactly
+        ea_full = np.concatenate(
+            [edge_attr.astype(np.float64),
+             np.asarray(edge_aux, dtype=np.float64)], axis=1)
+        pack_dtype = np.float64
     parts_int, parts_bnd = [], []
     for s in range(num_parts):
         mi = (owner_r == s) & interior
         sp, rp = s_new[mi] - s * n_local, r_new[mi] - s * n_local
         perm = sort_edges_by_receiver(sp, rp)
         parts_int.append((sp[perm].astype(np.int32), rp[perm],
-                          edge_attr[mi][perm]))
+                          ea_full[mi][perm]))
         mb = (owner_r == s) & ~interior
         hs, rb = halo_slot[mb], r_new[mb] - s * n_local
         perm = sort_edges_by_receiver(hs, rb)
         parts_bnd.append((hs[perm].astype(np.int32), rb[perm],
-                          edge_attr[mb][perm]))
-    de = edge_attr.shape[1]
+                          ea_full[mb][perm]))
     if align_interior:
         from aero_gnn_tpu.graph.padded import ALIGN_NODE_BLOCK
 
         n_local_pad = _round_up(n_local + 1, ALIGN_NODE_BLOCK)
         si, ri, eai, emi = _pack_aligned_interior(
-            parts_int, num_parts, de, n_local_pad, dtype,
+            parts_int, num_parts, ea_full.shape[1], n_local_pad, pack_dtype,
             rows=edges_int_rows)
     else:
         n_local_pad = n_local
         si, ri, eai, emi = _pack_edge_streams(
-            parts_int, num_parts, de, edges_pad_multiple, dtype,
-            rows=edges_int_rows, pad_sender=n_local - 1,
+            parts_int, num_parts, ea_full.shape[1], edges_pad_multiple,
+            pack_dtype, rows=edges_int_rows, pad_sender=n_local - 1,
             pad_receiver=n_local - 1)
     sb, rb, eab, emb = _pack_edge_streams(
-        parts_bnd, num_parts, de, halo_pad_multiple, dtype,
-        rows=edges_bnd_rows, pad_sender=num_parts * H - 1,
+        parts_bnd, num_parts, ea_full.shape[1], halo_pad_multiple,
+        pack_dtype, rows=edges_bnd_rows, pad_sender=num_parts * H - 1,
         pad_receiver=n_local_pad - 1)
     sperm_i, ssort_i = _sender_sort(si)
 
+    aux_int = aux_bnd = None
+    if edge_aux is not None:
+        aux_int, eai = eai[..., de:], eai[..., :de].astype(dtype)
+        aux_bnd, eab = eab[..., de:], eab[..., :de].astype(dtype)
+        emi, emb = emi.astype(dtype), emb.astype(dtype)
+
     xs, ys, nm = _pack_nodes(order, n_local, num_parts, x, y, dtype,
                              rows=n_local_pad)
-    return HaloSplitGraph(
+    sg = HaloSplitGraph(
         x=jnp.asarray(xs),
         edge_attr_int=jnp.asarray(eai), senders_int=jnp.asarray(si),
         receivers_int=jnp.asarray(ri), edge_mask_int=jnp.asarray(emi),
@@ -395,6 +419,9 @@ def partition_graph_halo_split(
         send_idx=jnp.asarray(send_idx),
         node_mask=jnp.asarray(nm), y=jnp.asarray(ys),
         aligned=align_interior)
+    if edge_aux is not None:
+        return sg, aux_int, aux_bnd
+    return sg
 
 
 def _exchange(values: jax.Array, send_idx_local: jax.Array,
@@ -642,12 +669,16 @@ def make_halo_split_train_step(model_cfg, optimizer, mesh: Mesh,
         def loss_fn(p):
             pred = halo_split_mgn_forward(p, model_cfg, sg_l, axis=axis)
             m = sg_l.node_mask[:, None]
-            se = jax.lax.psum(jnp.sum(jnp.square(pred - sg_l.y) * m), axis)
+            # LOCAL numerator / global count: a psum'd numerator would
+            # inflate the grad seed P x (see parallel.spatial
+            # make_spatial_train_step)
+            se = jnp.sum(jnp.square(pred - sg_l.y) * m)
             cnt = jax.lax.psum(jnp.sum(m) * sg_l.y.shape[-1], axis)
             return se / cnt
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
         grads = jax.lax.psum(grads, axis)
+        loss = jax.lax.psum(loss, axis)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
@@ -680,12 +711,14 @@ def make_halo_train_step(model_cfg, optimizer, mesh: Mesh,
         def loss_fn(p):
             pred = halo_mgn_forward(p, model_cfg, sg_l, axis=axis)
             m = sg_l.node_mask[:, None]
-            se = jax.lax.psum(jnp.sum(jnp.square(pred - sg_l.y) * m), axis)
+            # LOCAL numerator / global count (see make_halo_split_train_step)
+            se = jnp.sum(jnp.square(pred - sg_l.y) * m)
             cnt = jax.lax.psum(jnp.sum(m) * sg_l.y.shape[-1], axis)
             return se / cnt
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
         grads = jax.lax.psum(grads, axis)
+        loss = jax.lax.psum(loss, axis)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss

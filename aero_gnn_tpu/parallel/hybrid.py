@@ -41,13 +41,16 @@ def make_hybrid_train_step(model_cfg, optimizer, mesh: Mesh) -> Callable:
         def loss_fn(p):
             pred = spatial_mgn_forward(p, model_cfg, sg_l, axis="graph")
             m = sg_l.node_mask[:, None]
-            se = jax.lax.psum(jnp.sum(jnp.square(pred - sg_l.y) * m), "graph")
+            # LOCAL numerator / global count: see parallel.spatial
+            # make_spatial_train_step — a psum'd numerator would inflate
+            # the grad seed by the graph-axis size
+            se = jnp.sum(jnp.square(pred - sg_l.y) * m)
             cnt = jax.lax.psum(jnp.sum(m) * sg_l.y.shape[-1], "graph")
             return se / cnt
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
         grads = jax.lax.pmean(jax.lax.psum(grads, "graph"), "data")
-        loss = jax.lax.pmean(loss, "data")
+        loss = jax.lax.pmean(jax.lax.psum(loss, "graph"), "data")
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
@@ -72,13 +75,14 @@ def make_hybrid_halo_split_train_step(model_cfg, optimizer,
         def loss_fn(p):
             pred = halo_split_mgn_forward(p, model_cfg, sg_l, axis="graph")
             m = sg_l.node_mask[:, None]
-            se = jax.lax.psum(jnp.sum(jnp.square(pred - sg_l.y) * m), "graph")
+            # LOCAL numerator / global count (see make_hybrid_train_step)
+            se = jnp.sum(jnp.square(pred - sg_l.y) * m)
             cnt = jax.lax.psum(jnp.sum(m) * sg_l.y.shape[-1], "graph")
             return se / cnt
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
         grads = jax.lax.pmean(jax.lax.psum(grads, "graph"), "data")
-        loss = jax.lax.pmean(loss, "data")
+        loss = jax.lax.pmean(jax.lax.psum(loss, "graph"), "data")
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss

@@ -411,16 +411,21 @@ def make_spatial_train_step(model_cfg, optimizer, mesh: Mesh,
         def loss_fn(p):
             pred = spatial_mgn_forward(p, model_cfg, sg_l, axis=axis)
             m = sg_l.node_mask[:, None]
-            se = jnp.sum(jnp.square(pred - sg_l.y) * m)
-            cnt = jnp.sum(m) * sg_l.y.shape[-1]
-            se = jax.lax.psum(se, axis)
-            cnt = jax.lax.psum(cnt, axis)
+            se = jnp.sum(jnp.square(pred - sg_l.y) * m)  # LOCAL numerator
+            cnt = jax.lax.psum(jnp.sum(m) * sg_l.y.shape[-1], axis)
+            # this shard's SHARE of the global loss. Do NOT psum the
+            # numerator inside the differentiated function: psum transposes
+            # to psum, so a psum'd loss seeds every shard's backward with
+            # the SUM of the per-shard seeds and the final grad all-reduce
+            # comes out P x too large (caught by the ground-truth gradient
+            # tests in tests/test_parallel.py). The count psum is safe —
+            # no parameter path runs through it.
             return se / cnt
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
-        # loss is already global (psum'd): per-shard grads hold only the
-        # local contributions, so the all-reduce must be a SUM
+        # per-shard grads/losses hold partial contributions: SUM them
         grads = jax.lax.psum(grads, axis)
+        loss = jax.lax.psum(loss, axis)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss

@@ -702,3 +702,198 @@ class TestAlignedSpatial:
             out = np.asarray(run(params, bg))
         np.testing.assert_allclose(out[0, :s.num_nodes], ref,
                                    rtol=3e-4, atol=3e-4)
+
+
+class TestBSMSHalo:
+    """Flagship multi-device BSMS: overlapped halo-split fine level +
+    sharded WeightedEdgeConv transfer (VERDICT r2 directive #1).
+
+    Partitioned forward must reproduce the single-device BSMSConfig.apply
+    for BOTH transfer modes at P=1 and P=8, and the train step's gradient
+    must equal the single-device full-batch gradient (ground truth — this
+    is also the regression test for the psum'd-loss grad-seed inflation
+    that scaled every spatial-path gradient by P)."""
+
+    def _mesh_sample(self, seed=0, n=480):
+        s = make_random_mesh_sample(n_nodes=n, seed=seed)
+        D.compute_features([s], ["mach", "alpha"])
+        return s
+
+    def _single_device(self, cfg, params, s, mode):
+        from aero_gnn_tpu.graph.hierarchy import build_hierarchy
+
+        gb = padded.build_graph_batch(
+            senders=s.senders, receivers=s.receivers, x=s.x,
+            edge_attr=s.edge_attr, pos=s.pos, y=s.y)
+        levels = tuple(build_hierarchy(
+            senders=np.asarray(s.senders, np.int64),
+            receivers=np.asarray(s.receivers, np.int64),
+            node_graph=np.zeros(s.num_nodes, np.int64),
+            num_nodes=s.num_nodes, pos=s.pos.astype(np.float64),
+            num_scales=3, mode=mode, stride=2,
+            num_fine_nodes_pad=gb.num_nodes_pad,
+            num_fine_edges_pad=gb.num_edges_pad))
+        return gb, levels
+
+    def _cfg(self, mode, transfer):
+        from aero_gnn_tpu.models.bsms import BSMSConfig
+
+        return BSMSConfig(**TINY, do_concat_trick=True, aggregation="add",
+                          num_scales=3, layers_per_scale=1, stride=2,
+                          hierarchy_mode=mode, transfer=transfer,
+                          remat=False)
+
+    def _partition(self, s, parts, mode, **kw):
+        from aero_gnn_tpu.parallel import bsms_spatial as BS
+
+        return BS.partition_bsms_halo(
+            senders=np.asarray(s.senders, np.int64),
+            receivers=np.asarray(s.receivers, np.int64),
+            x=s.x, edge_attr=s.edge_attr, pos=s.pos, y=s.y,
+            num_parts=parts, num_scales=3, mode=mode, stride=2, **kw)
+
+    def _unshard(self, out, s, parts, nodes_per_part):
+        order = SP._morton_order(s.pos)
+        n_local = -(-s.num_nodes // parts)
+        got = np.zeros((s.num_nodes, out.shape[-1]), np.float32)
+        flat = out.reshape(-1, out.shape[-1])
+        for p in range(parts):
+            chunk = order[p * n_local:(p + 1) * n_local]
+            got[chunk] = flat[p * nodes_per_part:
+                              p * nodes_per_part + len(chunk)]
+        return got
+
+    @pytest.mark.parametrize("mode,transfer", [
+        ("stride", "mean"), ("bistride", "weighted")])
+    @pytest.mark.parametrize("parts", [1, 8])
+    def test_forward_matches_single_device(self, mode, transfer, parts):
+        from aero_gnn_tpu.parallel import bsms_spatial as BS
+
+        cfg = self._cfg(mode, transfer)
+        params = cfg.init(jax.random.PRNGKey(41))
+        s = self._mesh_sample(seed=41)
+        gb, levels = self._single_device(cfg, params, s, mode)
+        ref = np.asarray(jax.jit(
+            lambda p, g: cfg.apply(p, g, hierarchy=levels))(params, gb)
+        )[:s.num_nodes]
+
+        bg = self._partition(s, parts, mode)
+        mesh = make_mesh(data=1, graph=parts,
+                         devices=jax.devices()[:parts])
+        fwd = BS.make_bsms_halo_forward(cfg, mesh)
+        out = np.asarray(fwd(params, bg))
+        got = self._unshard(out, s, parts, bg.fine.nodes_per_part)
+        np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+    def test_train_step_grads_match_ground_truth_p8(self):
+        """SGD(lr=1) recovers the step's gradient exactly; it must equal
+        the single-device full-batch gradient (bistride + weighted)."""
+        import optax
+
+        from aero_gnn_tpu.parallel import bsms_spatial as BS
+
+        cfg = self._cfg("bistride", "weighted")
+        params = cfg.init(jax.random.PRNGKey(42))
+        s = self._mesh_sample(seed=42)
+        gb, levels = self._single_device(cfg, params, s, "bistride")
+
+        def ref_loss(p):
+            pred = cfg.apply(p, gb, hierarchy=levels)
+            m = gb.node_mask[:, None]
+            return jnp.sum(jnp.square(pred - gb.y) * m) / (
+                jnp.sum(m) * gb.y.shape[1])
+
+        l_ref, g_ref = jax.jit(jax.value_and_grad(ref_loss))(params)
+
+        bg = self._partition(s, 8, "bistride")
+        mesh = make_mesh(data=1, graph=8)
+        opt = optax.sgd(1.0)
+        step = BS.make_bsms_halo_train_step(cfg, opt, mesh)
+        p1, _, loss = step(jax.tree.map(jnp.copy, params),
+                           opt.init(params), bg)
+        np.testing.assert_allclose(float(np.asarray(loss).ravel()[0]),
+                                   float(l_ref), rtol=1e-5)
+        g_step = jax.tree.map(
+            lambda a, b: np.asarray(a) - np.asarray(b), params, p1)
+        errs = jax.tree.map(
+            lambda a, b: float(np.abs(np.asarray(a) - b).max()
+                               / max(np.abs(np.asarray(a)).max(), 1e-9)),
+            g_ref, g_step)
+        assert max(jax.tree.leaves(errs)) < 2e-3
+
+    def test_fused_interior_p1_pallas(self):
+        """align_interior: fused Pallas kernels on the fine stacks at P=1
+        (interpret-mode Pallas aborts in shard_map with >1 device thread —
+        see TestAlignedHaloSplit)."""
+        from jax.experimental.pallas import tpu as pltpu
+
+        from aero_gnn_tpu import ops
+        from aero_gnn_tpu.parallel import bsms_spatial as BS
+
+        cfg = self._cfg("bistride", "weighted")
+        params = cfg.init(jax.random.PRNGKey(43))
+        s = self._mesh_sample(seed=43, n=300)
+        gb, levels = self._single_device(cfg, params, s, "bistride")
+        ref = np.asarray(jax.jit(
+            lambda p, g: cfg.apply(p, g, hierarchy=levels))(params, gb)
+        )[:s.num_nodes]
+
+        bg = self._partition(s, 1, "bistride", align_interior=True)
+        assert bg.fine.aligned and bg.fine.nodes_per_part % 256 == 0
+        mesh = make_mesh(data=1, graph=1, devices=jax.devices()[:1])
+        fwd = BS.make_bsms_halo_forward(cfg, mesh)
+        with ops.use_backend("pallas"), pltpu.force_tpu_interpret_mode():
+            out = np.asarray(fwd(params, bg))
+        got = self._unshard(out, s, 1, bg.fine.nodes_per_part)
+        np.testing.assert_allclose(got, ref, rtol=3e-4, atol=3e-4)
+
+
+class TestSpatialGradGroundTruth:
+    """The spatial/halo MGN train steps' gradients vs the single-device
+    full-batch gradient (the psum'd-loss seed-inflation regression)."""
+
+    @pytest.mark.parametrize("scheme", ["spatial", "halo_split"])
+    def test_step_grads_match_ground_truth_p8(self, scheme):
+        import optax
+
+        from aero_gnn_tpu.parallel import halo as HL
+
+        cfg = MGNConfig(**TINY, do_concat_trick=True, remat=False)
+        params = cfg.init(jax.random.PRNGKey(44))
+        s = make_random_mesh_sample(n_nodes=480, seed=44)
+        D.compute_features([s], ["mach", "alpha"])
+        gb = padded.build_graph_batch(
+            senders=s.senders, receivers=s.receivers, x=s.x,
+            edge_attr=s.edge_attr, pos=s.pos, y=s.y)
+
+        def ref_loss(p):
+            pred = cfg.apply(p, gb)
+            m = gb.node_mask[:, None]
+            return jnp.sum(jnp.square(pred - gb.y) * m) / (
+                jnp.sum(m) * gb.y.shape[1])
+
+        l_ref, g_ref = jax.jit(jax.value_and_grad(ref_loss))(params)
+
+        mesh = make_mesh(data=1, graph=8)
+        opt = optax.sgd(1.0)
+        if scheme == "spatial":
+            sg = SP.partition_graph(
+                senders=s.senders, receivers=s.receivers, x=s.x,
+                edge_attr=s.edge_attr, pos=s.pos, y=s.y, num_parts=8)
+            step = SP.make_spatial_train_step(cfg, opt, mesh)
+        else:
+            sg = HL.partition_graph_halo_split(
+                senders=s.senders, receivers=s.receivers, x=s.x,
+                edge_attr=s.edge_attr, pos=s.pos, y=s.y, num_parts=8)
+            step = HL.make_halo_split_train_step(cfg, opt, mesh)
+        p1, _, loss = step(jax.tree.map(jnp.copy, params),
+                           opt.init(params), sg)
+        np.testing.assert_allclose(float(np.asarray(loss).ravel()[0]),
+                                   float(l_ref), rtol=1e-5)
+        g_step = jax.tree.map(
+            lambda a, b: np.asarray(a) - np.asarray(b), params, p1)
+        errs = jax.tree.map(
+            lambda a, b: float(np.abs(np.asarray(a) - b).max()
+                               / max(np.abs(np.asarray(a)).max(), 1e-9)),
+            g_ref, g_step)
+        assert max(jax.tree.leaves(errs)) < 2e-3
