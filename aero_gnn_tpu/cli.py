@@ -200,6 +200,12 @@ def infer_main(args: argparse.Namespace) -> str:
 
 
 def main(argv: Optional[List[str]] = None) -> None:
+    # before any backend init: multi-chip halo overlap needs async
+    # all-to-all, which the TPU compiler disables by default (see
+    # parallel/xla_flags.py + OVERLAP_r3.json)
+    from aero_gnn_tpu.parallel.xla_flags import ensure_async_collectives
+    ensure_async_collectives()
+
     parser = argparse.ArgumentParser(
         prog="aero_gnn_tpu",
         description="TPU-native mesh-GNN framework CLI")

@@ -37,6 +37,20 @@ from aero_gnn_tpu.ops import (
 )
 
 
+def _wec_weight(w: jax.Array, dt) -> jax.Array:
+    """Conv/length weights stay f32 by default (products promote, segment
+    sums accumulate in f32 — exact parity with the reference semantics).
+    AERO_GNN_WEC_DTYPE=compute casts them to the compute dtype first so
+    the [E, h] stream multiply stays bf16 (half the HBM bytes) — a perf
+    mode measured in benchmarks/ablate_wec.py; only changes numerics on
+    bf16 runs."""
+    import os
+
+    if os.environ.get("AERO_GNN_WEC_DTYPE") == "compute":
+        return w.astype(dt)
+    return w
+
+
 def wec_aggregate(level: HierarchyLevel, x: jax.Array, senders, receivers,
                   sperm=None, ssort=None, aligned: bool = False) -> jax.Array:
     """WeightedEdgeConv neighborhood aggregation on FINE node rows.
@@ -47,8 +61,10 @@ def wec_aggregate(level: HierarchyLevel, x: jax.Array, senders, receivers,
     promote, the segment sum accumulates in f32, no masking needed. The
     gather/scatter pair rides the sorted custom-VJP ops (ops/scatter.py)."""
     xs = gather_senders(x, senders, sperm, ssort, aligned=aligned)
-    return level.conv_self[:, None] * x + segment_sum_sorted(
-        level.conv_edge[:, None] * xs, receivers, x.shape[0])
+    cs = _wec_weight(level.conv_self, x.dtype)
+    ce = _wec_weight(level.conv_edge, x.dtype)
+    return cs[:, None] * x + segment_sum_sorted(
+        ce[:, None] * xs, receivers, x.shape[0])
 
 
 def wec_down(level: HierarchyLevel, x: jax.Array, senders, receivers,
@@ -58,8 +74,8 @@ def wec_down(level: HierarchyLevel, x: jax.Array, senders, receivers,
     select each coarse node's representative fine node (rep_mask marks
     exactly one per coarse node). ``pool`` overrides the segment-sum used
     for the selection (models pass their sorted-pool closure)."""
-    sel = wec_aggregate(level, x, senders, receivers, sperm, ssort,
-                        aligned) * level.rep_mask[:, None]
+    agg = wec_aggregate(level, x, senders, receivers, sperm, ssort, aligned)
+    sel = agg * _wec_weight(level.rep_mask, agg.dtype)[:, None]
     if pool is not None:
         return pool(sel)
     return jax.ops.segment_sum(sel, level.fine_to_coarse,
@@ -79,15 +95,15 @@ def wec_up(level: HierarchyLevel, xc_fine: jax.Array, senders, receivers,
     (ops.segment_pool_sum: gather-by-perm + SORTED segment sum); aligned
     sender streams may repeat a masked pad row in the perm, whose conv_edge
     is 0, so those slots contribute exactly zero."""
-    z = xc_fine * level.rep_mask[:, None]
+    z = xc_fine * _wec_weight(level.rep_mask, xc_fine.dtype)[:, None]
     zr = gather_receivers(z, receivers, aligned=aligned)
-    term = level.conv_edge[:, None] * zr
+    term = _wec_weight(level.conv_edge, z.dtype)[:, None] * zr
     if sperm is not None and ssort is not None:
         spread = segment_pool_sum(term, senders, z.shape[0],
                                   perm=sperm, seg_sorted=ssort)
     else:
         spread = jax.ops.segment_sum(term, senders, num_segments=z.shape[0])
-    return level.conv_self[:, None] * z + spread
+    return _wec_weight(level.conv_self, z.dtype)[:, None] * z + spread
 
 
 def _sorted_pool_enabled() -> bool:
@@ -255,7 +271,7 @@ class BSMSConfig(MGNConfig):
             if self.transfer == "weighted":
                 # length-weighted coarse edge features (edge_weights are
                 # fine edge lengths, zero on pads)
-                w_e = level.edge_weights * edge_mask
+                w_e = _wec_weight(level.edge_weights * edge_mask, dt)
                 es = _pool_edges(e * w_e[:, None])
                 wsum = _pool_edges(w_e)
                 e = (es / jnp.maximum(wsum, 1e-12)[:, None]).astype(dt)

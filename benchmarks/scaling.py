@@ -57,7 +57,7 @@ def main() -> None:
     parser.add_argument("--chip-edges-per-s", type=float, default=None,
                         help="measured single-chip train edges/s "
                         "(default: round-2 headline 3.98e6)")
-    parser.add_argument("--out", default="SCALING_r2.json")
+    parser.add_argument("--out", default="SCALING_r3.json")
     args = parser.parse_args()
 
     import jax
@@ -243,6 +243,75 @@ def main() -> None:
                 "comm_bytes_per_layer": int(ag_bytes),
                 "model": model_eff(p, n_edges / p, ag_bytes,
                                    overlap=False)}
+
+            # --- flagship BSMS: overlapped halo-split fine level +
+            # sharded WeightedEdgeConv transfer, coarse levels replicated
+            # (BASELINE config[4]) ---
+            from aero_gnn_tpu.models.bsms import BSMSConfig
+            from aero_gnn_tpu.parallel import bsms_spatial as BS
+
+            lps = 2
+            bs_cfg = BSMSConfig(
+                input_node_dim=6, input_edge_dim=3, output_node_dim=4,
+                processor_size=args.layers, hidden_dim_processor=h,
+                hidden_dim_node_encoder=h, hidden_dim_edge_encoder=h,
+                hidden_dim_decoder=h, do_concat_trick=True,
+                aggregation="add", num_scales=3, layers_per_scale=lps,
+                hierarchy_mode="bistride", transfer="weighted")
+            bg = BS.partition_bsms_halo(
+                senders=np.asarray(sample.senders, np.int64),
+                receivers=np.asarray(sample.receivers, np.int64),
+                x=sample.x, edge_attr=sample.edge_attr, pos=sample.pos,
+                y=sample.y, num_parts=p, num_scales=3, mode="bistride")
+            # per-layer boundary exchange on the fine stacks (2*lps of the
+            # L layers run on the fine stream); level-0 transfers all-reduce
+            # the [nc1 + ec1, h] partial sums once down + the reverse
+            # boundary all_to_all once up; coarse stacks are REPLICATED
+            # compute (no comm, no speedup)
+            Hb = bg.fine.halo_size
+            fine_a2a_bytes = (p - 1) * Hb * h * bytes_act
+            nc1 = int(bg.levels[0].num_coarse_nodes_pad)
+            ec1 = int(bg.levels[0].num_coarse_edges_pad)
+            transfer_bytes = (2 * (p - 1) / p * (nc1 + ec1) * h * 4
+                              + 2 * fine_a2a_bytes)
+            e1 = int(bg.levels[0].n_edge)
+            e2 = int(bg.levels[1].n_edge) if len(bg.levels) > 1 else 0
+            w_fine = n_edges * 2 * lps
+            w_coarse = e1 * 2 * lps + e2 * max(1, L - 4 * lps)
+            t_chip = n_edges / chip_rate
+            t_comp = t_chip * (w_fine / p + w_coarse) / (w_fine + w_coarse)
+            Ei_b = bg.fine.edge_attr_int.shape[1]
+            Eb_b = bg.fine.edge_attr_bnd.shape[1]
+            t_comm_fine = 2 * lps * fine_a2a_bytes / ici_bps
+            t_fine_int = (t_chip * (w_fine / p) / (w_fine + w_coarse)
+                          * Ei_b / (Ei_b + Eb_b))
+            t_step = (max(t_fine_int, t_comm_fine)
+                      + t_comp - t_chip * (w_fine / p) / (w_fine + w_coarse)
+                      * Ei_b / (Ei_b + Eb_b)
+                      + transfer_bytes / ici_bps
+                      + grad_allreduce_bytes(p) / ici_bps)
+            dt = None
+            if args.measure:
+                bs_params = bs_cfg.init(jax.random.PRNGKey(4))
+                bs_ost = optimizer.init(bs_params)
+                step = BS.make_bsms_halo_train_step(bs_cfg, optimizer, mesh)
+                dt = time_steps(step, bs_params, bs_ost, bg)
+            entries["bsms_halo"] = {
+                "measured_ms": None if dt is None else round(dt * 1e3, 2),
+                "transfer": "weighted", "hierarchy_mode": "bistride",
+                "halo_rows_padded": int(Hb),
+                "comm_bytes_per_fine_layer": int(fine_a2a_bytes),
+                "transfer_comm_bytes": int(transfer_bytes),
+                "replicated_coarse_work_frac":
+                    round(w_coarse / (w_fine + w_coarse), 4),
+                "model": {
+                    "t_compute_ms": round(t_comp * 1e3, 3),
+                    "t_comm_ms": round(
+                        (t_comm_fine + transfer_bytes / ici_bps
+                         + grad_allreduce_bytes(p) / ici_bps) * 1e3, 3),
+                    "predicted_ms": round(t_step * 1e3, 3),
+                    "predicted_efficiency": round(
+                        t_chip / (p * t_step), 4)}}
 
             # --- data parallel (p independent replicas of the mesh) ---
             dmesh = make_mesh(data=p, graph=1, devices=jax.devices()[:p])
