@@ -18,6 +18,7 @@ down/up stage, bottleneck gets max(1, processor_size - 2*sum(down)).
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 from typing import List, Optional, Sequence, Tuple
 
 import jax
@@ -29,11 +30,9 @@ from aero_gnn_tpu.models.mgn import MGNConfig, run_processor, _sub
 from aero_gnn_tpu.nn import blocks as B
 from aero_gnn_tpu.nn import mlp as M
 from aero_gnn_tpu.ops import (
-    gather_receivers,
     gather_senders,
     segment_mean,
     segment_pool_sum,
-    segment_sum_sorted,
 )
 
 
@@ -51,6 +50,83 @@ def _wec_weight(w: jax.Array, dt) -> jax.Array:
     return w
 
 
+def _wec_A_raw(aligned, x, cs, ce, senders, receivers):
+    """A x: receiver-sorted WeightedEdgeConv aggregation (fast forward —
+    one small-table [N,h] gather + one Pallas MXU aggregation when the
+    stream is block-aligned)."""
+    from aero_gnn_tpu import ops as _ops
+
+    xs = x.at[senders].get(mode="promise_in_bounds")
+    return cs[:, None] * x + _ops.aggregate_edges(
+        ce[:, None] * xs, receivers, x.shape[0], aggregation="add",
+        aligned=aligned)
+
+
+def _wec_At_raw(aligned, y, cs, ce, senders, receivers, sperm, ssort):
+    """A^T y: the exact transpose, expressed on the SENDER-sorted stream —
+    gather y by receivers-in-sender-order (small table, fast) then one
+    sorted/Pallas aggregation over the ascending sender ids. This avoids
+    the [E,h] permutation gather (ops/scatter.py's sender backward needs
+    it because its cotangent is an EDGE value; here the edge value is
+    derived from NODE rows, so the reorder happens on [E] index vectors)."""
+    from aero_gnn_tpu import ops as _ops
+
+    if sperm is None or ssort is None:
+        zr = y.at[receivers].get(mode="promise_in_bounds")
+        return cs[:, None] * y + jax.ops.segment_sum(
+            ce[:, None] * zr, senders, num_segments=y.shape[0])
+    recv_s = receivers.at[sperm].get(mode="promise_in_bounds")
+    ce_s = ce.at[sperm].get(mode="promise_in_bounds")
+    ys = y.at[recv_s].get(mode="promise_in_bounds")
+    return cs[:, None] * y + _ops.aggregate_edges(
+        ce_s[:, None] * ys, ssort, y.shape[0], aggregation="add",
+        aligned=aligned)
+
+
+def _wec_zero_tangents():
+    # index/weight operands carry no gradients (hierarchy constants);
+    # None = symbolic zero (repo custom_vjp convention, ops/scatter.py)
+    return (None, None, None, None, None, None)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _wec_A_op(aligned, x, cs, ce, senders, receivers, sperm, ssort):
+    return _wec_A_raw(aligned, x, cs, ce, senders, receivers)
+
+
+def _wec_A_fwd(aligned, x, cs, ce, senders, receivers, sperm, ssort):
+    return _wec_A_raw(aligned, x, cs, ce, senders, receivers), \
+        (cs, ce, senders, receivers, sperm, ssort)
+
+
+def _wec_A_bwd(aligned, res, ct):
+    cs, ce, senders, receivers, sperm, ssort = res
+    dx = _wec_At_raw(aligned, ct, cs, ce, senders, receivers, sperm, ssort)
+    return (dx,) + _wec_zero_tangents()
+
+
+_wec_A_op.defvjp(_wec_A_fwd, _wec_A_bwd)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _wec_At_op(aligned, z, cs, ce, senders, receivers, sperm, ssort):
+    return _wec_At_raw(aligned, z, cs, ce, senders, receivers, sperm, ssort)
+
+
+def _wec_At_fwd(aligned, z, cs, ce, senders, receivers, sperm, ssort):
+    return _wec_At_raw(aligned, z, cs, ce, senders, receivers, sperm,
+                       ssort), (cs, ce, senders, receivers, sperm, ssort)
+
+
+def _wec_At_bwd(aligned, res, ct):
+    cs, ce, senders, receivers, sperm, ssort = res
+    dz = _wec_A_raw(aligned, ct, cs, ce, senders, receivers)
+    return (dz,) + _wec_zero_tangents()
+
+
+_wec_At_op.defvjp(_wec_At_fwd, _wec_At_bwd)
+
+
 def wec_aggregate(level: HierarchyLevel, x: jax.Array, senders, receivers,
                   sperm=None, ssort=None, aligned: bool = False) -> jax.Array:
     """WeightedEdgeConv neighborhood aggregation on FINE node rows.
@@ -58,13 +134,17 @@ def wec_aggregate(level: HierarchyLevel, x: jax.Array, senders, receivers,
     x~_i = conv_self[i] x_i + sum_{e: recv(e)=i} conv_edge[e] x_{send(e)};
     rows sum to 1 (graph.hierarchy._conv_weights), so constant fields are
     preserved exactly. conv weights are f32 and zero on pad rows — products
-    promote, the segment sum accumulates in f32, no masking needed. The
-    gather/scatter pair rides the sorted custom-VJP ops (ops/scatter.py)."""
-    xs = gather_senders(x, senders, sperm, ssort, aligned=aligned)
+    promote, the aggregation accumulates in f32, no masking needed.
+
+    The conv and its adjoint are a mutually-transposed custom-VJP pair:
+    every direction of every pass is one small-table [N,h] gather plus one
+    sorted (Pallas MXU when aligned) aggregation — the naive autodiff
+    route materializes [E,h] permutation gathers that run on XLA's
+    row-rate-bound scatter/gather fusions (~100M rows/s, measured +27%
+    on the 65k BSMS step before this, benchmarks/ablate_wec.py)."""
     cs = _wec_weight(level.conv_self, x.dtype)
     ce = _wec_weight(level.conv_edge, x.dtype)
-    return cs[:, None] * x + segment_sum_sorted(
-        ce[:, None] * xs, receivers, x.shape[0])
+    return _wec_A_op(aligned, x, cs, ce, senders, receivers, sperm, ssort)
 
 
 def wec_down(level: HierarchyLevel, x: jax.Array, senders, receivers,
@@ -91,19 +171,15 @@ def wec_up(level: HierarchyLevel, xc_fine: jax.Array, senders, receivers,
     (z = rep_mask * xc_fine), then the TRANSPOSED conv spreads it over the
     fine neighborhood with the same weights:
       y[i] = conv_self[i] z[i] + sum_{e: send(e)=i} conv_edge[e] z[recv(e)].
-    The scatter-to-senders rides the sender-sorted stream
-    (ops.segment_pool_sum: gather-by-perm + SORTED segment sum); aligned
-    sender streams may repeat a masked pad row in the perm, whose conv_edge
-    is 0, so those slots contribute exactly zero."""
+    Runs as _wec_At_op: gather z by receivers-in-sender-order (small
+    table) + one sorted/Pallas aggregation over ascending sender ids, with
+    the receiver-sorted conv as its custom-VJP backward (see
+    wec_aggregate). Aligned sender streams may repeat a masked pad row,
+    whose conv_edge is 0, so those slots contribute exactly zero."""
     z = xc_fine * _wec_weight(level.rep_mask, xc_fine.dtype)[:, None]
-    zr = gather_receivers(z, receivers, aligned=aligned)
-    term = _wec_weight(level.conv_edge, z.dtype)[:, None] * zr
-    if sperm is not None and ssort is not None:
-        spread = segment_pool_sum(term, senders, z.shape[0],
-                                  perm=sperm, seg_sorted=ssort)
-    else:
-        spread = jax.ops.segment_sum(term, senders, num_segments=z.shape[0])
-    return _wec_weight(level.conv_self, z.dtype)[:, None] * z + spread
+    cs = _wec_weight(level.conv_self, z.dtype)
+    ce = _wec_weight(level.conv_edge, z.dtype)
+    return _wec_At_op(aligned, z, cs, ce, senders, receivers, sperm, ssort)
 
 
 def _sorted_pool_enabled() -> bool:
