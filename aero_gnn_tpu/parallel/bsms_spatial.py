@@ -8,25 +8,28 @@ design:
     baseline: fine level edge-partitioned like parallel.spatial with a
     per-layer all_gather halo of projected sender features. Kept as the
     simple reference scheme.
-  * ``partition_bsms_halo`` / ``make_bsms_halo_*`` — the flagship: the
-    fine level rides the sparse OVERLAPPED halo-split
-    (parallel.halo.partition_graph_halo_split + _halo_split_layer:
-    interior/boundary edge streams, all_to_all of exactly the boundary
-    rows, interior compute schedulable under the collective, fused Pallas
-    interior kernels with ``align_interior``), and the WeightedEdgeConv
-    transfer (transfer="weighted" + hierarchy_mode="bistride", the
-    canonical BSMS-GNN operator) runs fully sharded: the down conv
-    aggregates remote sender features through the same halo exchange, and
-    the up adjoint ships boundary contributions back with the REVERSE
-    all_to_all (the manual transpose of parallel.halo._exchange).
+  * ``partition_bsms_halo`` / ``make_bsms_halo_*`` — the flagship:
+    EVERY hierarchy level (fine, coarse, bottleneck) is its own
+    overlapped halo-split shard (parallel.halo.partition_graph_halo_split
+    + _halo_split_layer: interior/boundary edge streams, all_to_all of
+    exactly the boundary rows, interior compute schedulable under the
+    collective, fused Pallas interior kernels with ``align_interior``),
+    so ALL processor compute scales 1/P. Transfers between levels meet in
+    a small replicated [nc, h] intermediate (down: local partial
+    reduction + one psum, then slice; up: one all_gather + local gather)
+    — O(next-level size) comm twice per level boundary, vs the per-layer
+    halo that dominates. The WeightedEdgeConv transfer
+    (transfer="weighted" + hierarchy_mode="bistride", the canonical
+    BSMS-GNN operator) runs fully sharded: the down conv aggregates
+    remote sender features through the level's halo exchange; the up
+    adjoint ships boundary contributions back with the REVERSE all_to_all
+    (the manual transpose of parallel.halo._exchange).
 
-In both schemes coarse levels are REPLICATED: the level-0 fine->coarse
-transfer is a local masked partial reduction into the full coarse index
-space followed by one psum, after which every shard holds identical
-coarse features and runs the (much smaller) coarse stacks identically;
-unpooling is a local gather of the replicated coarse features. The
-bottleneck runs on a mesh 1/stride^s the size, so the sharded fine level
-dominates end-to-end (see docs/design.md scaling model).
+In the all_gather baseline the coarse levels are replicated (every shard
+runs the identical coarse stacks), which caps BSMS speedup at the fine
+fraction of the work — the flagship scheme exists because the bottleneck
+stack is max(1, L - 2*sum(down)) layers (7 of 15 at the production
+config) and must shard too.
 """
 
 from __future__ import annotations
@@ -367,52 +370,67 @@ def make_bsms_spatial_train_step(model_cfg, optimizer, mesh: Mesh, *,
     return run
 
 
+
 # ---------------------------------------------------------------------------
-# Halo-split BSMS (flagship multi-device scheme)
+# Halo-split BSMS (flagship multi-device scheme): EVERY level sharded
 # ---------------------------------------------------------------------------
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
-class BSMSHaloGraph:
-    """BSMS mesh with the fine level on the overlapped halo-split and the
-    level-0 transfer operators remapped into shard-local order.
+class BSMSHaloLevel:
+    """One hierarchy level of the flagship scheme: the level's mesh as an
+    overlapped halo-split shard plus the transfer operators to the NEXT
+    level, remapped into shard-local order.
 
-    The fine edge stream is SPLIT (interior/boundary, see
-    parallel.halo.HaloSplitGraph), so every per-edge level-0 artifact
-    exists per stream. Coarse levels are replicated ``HierarchyLevel``s —
-    ``levels[0]``'s fine-row fields are stripped to dummies (superseded by
-    the sharded fields here); its coarse-graph fields plus ``levels[1:]``
-    in full drive the replicated coarse stacks exactly like the
-    single-device model (models/bsms.py).
+    Level meshes are partitioned independently (each by its own Morton
+    order); transfers meet in a small REPLICATED [nc_pad, h] intermediate:
+    down = local partial reduction into the full next-level index space +
+    one psum, then each shard slices its next-level rows; up = one
+    all_gather of the next level's sharded rows reassembled via
+    ``pos_of_node``, then a local gather by ``f2c``. Comm per transfer is
+    O(next-level nodes + edges) — small (levels halve), vs the per-layer
+    O(surface) halo that dominates. Every processor stack (fine, coarse,
+    bottleneck) runs sharded on the overlapped halo-split layer, so all
+    compute scales 1/P (the round-2 replicated-coarse design capped BSMS
+    speedup at ~2x regardless of P — the bottleneck stack is 7 of 15
+    layers).
     """
 
-    fine: "HaloSplitGraph"
-    # level-0 transfer, shard-local fine rows -> GLOBAL coarse ids
-    fine_to_coarse: jax.Array  # i32[P, Nl]
-    e2c_int: jax.Array  # i32[P, Ei]
-    e2c_bnd: jax.Array  # i32[P, Eb]
-    # WeightedEdgeConv level-0 operator (zero on pad rows/slots)
-    conv_self: jax.Array  # f32[P, Nl]
-    rep_mask: jax.Array  # f32[P, Nl]
-    conv_edge_int: jax.Array  # f32[P, Ei]
-    conv_edge_bnd: jax.Array  # f32[P, Eb]
-    edge_w_int: jax.Array  # f32[P, Ei]
-    edge_w_bnd: jax.Array  # f32[P, Eb]
-    # replicated coarse hierarchy (levels[0] fine-row fields are dummies)
-    levels: Tuple["H.HierarchyLevel", ...]
+    graph: "HaloSplitGraph"  # this level's sharded mesh (x/y real at 0)
+    # provenance: shard-local row/slot -> GLOBAL ids of THIS level
+    node_rows: jax.Array  # i32[P, Nl] (pad rows -> nk_pad-1)
+    edge_rows_int: jax.Array  # i32[P, Ei] (pad slots -> ek_pad-1)
+    edge_rows_bnd: jax.Array  # i32[P, Eb]
+    pos_of_node: jax.Array  # i32[nk_pad] flat [P*Nl] slot of each global id
+    # transfer THIS level -> next (None on the last level)
+    f2c: Optional[jax.Array]  # i32[P, Nl] global next-level node ids
+    e2c_int: Optional[jax.Array]  # i32[P, Ei] global next-level edge ids
+    e2c_bnd: Optional[jax.Array]  # i32[P, Eb]
+    # WeightedEdgeConv operator on THIS level's rows/slots (zero on pads)
+    conv_self: Optional[jax.Array]  # f32[P, Nl]
+    rep_mask: Optional[jax.Array]  # f32[P, Nl]
+    conv_edge_int: Optional[jax.Array]  # f32[P, Ei]
+    conv_edge_bnd: Optional[jax.Array]  # f32[P, Eb]
+    edge_w_int: Optional[jax.Array]  # f32[P, Ei]
+    edge_w_bnd: Optional[jax.Array]  # f32[P, Eb]
+    # padded sizes of the NEXT level's replicated intermediates (0 on last)
+    nc_pad: int = dataclasses.field(default=0, metadata=dict(static=True))
+    ec_pad: int = dataclasses.field(default=0, metadata=dict(static=True))
+    # this level's REAL mesh sizes (scaling models / diagnostics)
+    n_real: int = dataclasses.field(default=0, metadata=dict(static=True))
+    e_real: int = dataclasses.field(default=0, metadata=dict(static=True))
 
 
-def _strip_fine_rows(level: "H.HierarchyLevel") -> "H.HierarchyLevel":
-    """Replace a level's FINE-row artifacts with 1-element dummies — in the
-    sharded graph they are superseded by the per-shard remapped fields, and
-    replicating 10^6-row arrays onto every shard would waste HBM."""
-    z = jnp.zeros(1, dtype=jnp.int32)
-    zf = jnp.zeros(1, dtype=jnp.float32)
-    return dataclasses.replace(
-        level, fine_to_coarse=z, edge_to_coarse=z, node_weights=zf,
-        edge_weights=zf, rep_mask=zf, conv_self=zf, conv_edge=zf,
-        node_pool_perm=None, node_pool_sorted=None,
-        edge_pool_perm=None, edge_pool_sorted=None)
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class BSMSHaloGraph:
+    """num_scales BSMSHaloLevels; levels[0] is the fine mesh."""
+
+    levels: Tuple[BSMSHaloLevel, ...]
+
+    @property
+    def fine(self) -> "HaloSplitGraph":
+        return self.levels[0].graph
 
 
 def partition_bsms_halo(
@@ -431,86 +449,124 @@ def partition_bsms_halo(
     halo_pad_multiple: int = 8,
     align_interior: bool = False,
 ) -> BSMSHaloGraph:
-    """Build the flagship multi-device BSMS graph: overlapped halo-split
-    fine level + replicated coarse hierarchy + sharded level-0 transfer
-    (mean AND WeightedEdgeConv operators are always carried)."""
+    """Build the flagship multi-device BSMS graph: every hierarchy level
+    an overlapped halo-split shard (see BSMSHaloLevel). Both the "mean"
+    and the WeightedEdgeConv transfer operators are always carried."""
     from aero_gnn_tpu.parallel.halo import (
         _assign_parts, partition_graph_halo_split)
 
     n = x.shape[0]
-    e_cnt = len(senders)
-    levels = H.build_hierarchy(
-        senders=np.asarray(senders, np.int64),
-        receivers=np.asarray(receivers, np.int64),
+    senders = np.asarray(senders, np.int64)
+    receivers = np.asarray(receivers, np.int64)
+    trans = H.build_hierarchy_real(
+        senders=senders, receivers=receivers,
         node_graph=np.zeros(n, np.int64), num_nodes=n,
         pos=pos.astype(np.float64), num_scales=num_scales, mode=mode,
-        stride=stride, num_fine_nodes_pad=n, num_fine_edges_pad=e_cnt)
-    lvl0 = levels[0]
+        stride=stride)
 
-    # level-0 fine EDGE artifacts are in receiver-sorted order; map back to
-    # ORIGINAL edge index so the partitioner can carry them as aux payload
-    perm0 = sort_edges_by_receiver(np.asarray(senders),
-                                   np.asarray(receivers))
-    e2c_orig = np.empty(e_cnt, dtype=np.float64)
-    e2c_orig[perm0] = np.asarray(lvl0.edge_to_coarse, np.float64)
-    cedge_orig = np.empty(e_cnt, dtype=np.float64)
-    cedge_orig[perm0] = np.asarray(lvl0.conv_edge, np.float64)
-    ew_orig = np.empty(e_cnt, dtype=np.float64)
-    ew_orig[perm0] = np.asarray(lvl0.edge_weights, np.float64)
-    aux = np.stack([e2c_orig, cedge_orig, ew_orig], axis=1)
+    # per-level REAL mesh arrays; level-0 edge rows receiver-sorted (the
+    # hierarchy's level-0 artifacts index that order)
+    perm0 = sort_edges_by_receiver(senders, receivers)
+    meshes = [dict(s=senders[perm0], r=receivers[perm0],
+                   ea=np.asarray(edge_attr)[perm0], pos=pos,
+                   x=x, y=y, n=n)]
+    for t in trans:
+        meshes.append(dict(
+            s=t["senders"], r=t["receivers"], ea=None, pos=t["pos"],
+            x=None, y=None, n=t["num_nodes"]))
 
-    fine, aux_int, aux_bnd = partition_graph_halo_split(
-        senders=senders, receivers=receivers, x=x, edge_attr=edge_attr,
-        pos=pos, y=y, num_parts=num_parts,
-        edges_pad_multiple=edges_pad_multiple,
-        halo_pad_multiple=halo_pad_multiple,
-        align_interior=align_interior, edge_aux=aux)
+    nk_pad = [_round_up(m["n"] + 1, 128) for m in meshes]
+    ek_pad = [_round_up(max(len(m["s"]), 1), 128) for m in meshes]
 
-    nc1 = int(lvl0.num_coarse_nodes_pad)
-    ec1 = int(lvl0.num_coarse_edges_pad)
-    emi = np.asarray(fine.edge_mask_int) > 0
-    emb = np.asarray(fine.edge_mask_bnd) > 0
-    # pad slots carry aux 0 -> route them at the coarse PAD ids instead
-    # (every scattered value is mask-zero anyway; this is belt-and-braces)
-    e2c_int = np.where(emi, aux_int[..., 0], ec1 - 1).astype(np.int32)
-    e2c_bnd = np.where(emb, aux_bnd[..., 0], ec1 - 1).astype(np.int32)
-    conv_edge_int = aux_int[..., 1].astype(np.float32)
-    conv_edge_bnd = aux_bnd[..., 1].astype(np.float32)
-    edge_w_int = aux_int[..., 2].astype(np.float32)
-    edge_w_bnd = aux_bnd[..., 2].astype(np.float32)
+    levels = []
+    for k, m in enumerate(meshes):
+        e_k = len(m["s"])
+        t = trans[k] if k < len(trans) else None
+        aux = np.zeros((e_k, 4), dtype=np.float64)
+        aux[:, 0] = np.arange(e_k)
+        if t is not None:
+            aux[:, 1] = t["edge_to_coarse"]
+            aux[:, 2] = t["conv_edge"]
+            aux[:, 3] = t["edge_weights"]
+        xk = m["x"] if m["x"] is not None else np.zeros((m["n"], 1),
+                                                        np.float32)
+        eak = m["ea"] if m["ea"] is not None else np.zeros((e_k, 1),
+                                                           np.float32)
+        yk = m["y"]
+        sgk, aux_i, aux_b = partition_graph_halo_split(
+            senders=m["s"], receivers=m["r"], x=xk, edge_attr=eak,
+            pos=np.asarray(m["pos"], np.float64), y=yk,
+            num_parts=num_parts, edges_pad_multiple=edges_pad_multiple,
+            halo_pad_multiple=halo_pad_multiple,
+            align_interior=align_interior, edge_aux=aux)
 
-    # node-row artifacts follow the partitioner's Morton chunks
-    order, _, n_local = _assign_parts(pos, n, num_parts)
-    n_local_pad = fine.nodes_per_part
-    f2c = np.full((num_parts, n_local_pad), nc1 - 1, dtype=np.int32)
-    cself = np.zeros((num_parts, n_local_pad), dtype=np.float32)
-    rep = np.zeros((num_parts, n_local_pad), dtype=np.float32)
-    f2c_g = np.asarray(lvl0.fine_to_coarse)
-    cself_g = np.asarray(lvl0.conv_self)
-    rep_g = np.asarray(lvl0.rep_mask)
-    for p in range(num_parts):
-        chunk = order[p * n_local:(p + 1) * n_local]
-        k = len(chunk)
-        f2c[p, :k] = f2c_g[chunk]
-        cself[p, :k] = cself_g[chunk]
-        rep[p, :k] = rep_g[chunk]
+        emi = np.asarray(sgk.edge_mask_int) > 0
+        emb = np.asarray(sgk.edge_mask_bnd) > 0
+        edge_rows_int = np.where(emi, aux_i[..., 0],
+                                 ek_pad[k] - 1).astype(np.int32)
+        edge_rows_bnd = np.where(emb, aux_b[..., 0],
+                                 ek_pad[k] - 1).astype(np.int32)
 
-    rep_levels = (_strip_fine_rows(levels[0]),) + tuple(levels[1:])
-    return BSMSHaloGraph(
-        fine=fine,
-        fine_to_coarse=jnp.asarray(f2c),
-        e2c_int=jnp.asarray(e2c_int), e2c_bnd=jnp.asarray(e2c_bnd),
-        conv_self=jnp.asarray(cself), rep_mask=jnp.asarray(rep),
-        conv_edge_int=jnp.asarray(conv_edge_int),
-        conv_edge_bnd=jnp.asarray(conv_edge_bnd),
-        edge_w_int=jnp.asarray(edge_w_int),
-        edge_w_bnd=jnp.asarray(edge_w_bnd),
-        levels=rep_levels)
+        order, _, n_local = _assign_parts(np.asarray(m["pos"], np.float64),
+                                          m["n"], num_parts)
+        nlp = sgk.nodes_per_part
+        node_rows = np.full((num_parts, nlp), nk_pad[k] - 1, np.int32)
+        pos_of_node = np.full(nk_pad[k], 0, np.int32)
+        # pads of the replicated index space point at a local pad row
+        pos_of_node[:] = nlp - 1
+        for p in range(num_parts):
+            chunk = order[p * n_local:(p + 1) * n_local]
+            node_rows[p, :len(chunk)] = chunk
+            pos_of_node[chunk] = p * nlp + np.arange(len(chunk))
+
+        if t is not None:
+            f2c = np.full((num_parts, nlp), nk_pad[k + 1] - 1, np.int32)
+            cself = np.zeros((num_parts, nlp), np.float32)
+            rep = np.zeros((num_parts, nlp), np.float32)
+            for p in range(num_parts):
+                chunk = order[p * n_local:(p + 1) * n_local]
+                kk = len(chunk)
+                f2c[p, :kk] = t["fine_to_coarse"][chunk]
+                cself[p, :kk] = t["conv_self"][chunk]
+                rep[p, :kk] = t["rep_mask"][chunk]
+            e2c_int = np.where(emi, aux_i[..., 1],
+                               ek_pad[k + 1] - 1).astype(np.int32)
+            e2c_bnd = np.where(emb, aux_b[..., 1],
+                               ek_pad[k + 1] - 1).astype(np.int32)
+            lvl = BSMSHaloLevel(
+                graph=sgk,
+                node_rows=jnp.asarray(node_rows),
+                edge_rows_int=jnp.asarray(edge_rows_int),
+                edge_rows_bnd=jnp.asarray(edge_rows_bnd),
+                pos_of_node=jnp.asarray(pos_of_node),
+                f2c=jnp.asarray(f2c),
+                e2c_int=jnp.asarray(e2c_int), e2c_bnd=jnp.asarray(e2c_bnd),
+                conv_self=jnp.asarray(cself), rep_mask=jnp.asarray(rep),
+                conv_edge_int=jnp.asarray(aux_i[..., 2].astype(np.float32)),
+                conv_edge_bnd=jnp.asarray(aux_b[..., 2].astype(np.float32)),
+                edge_w_int=jnp.asarray(aux_i[..., 3].astype(np.float32)),
+                edge_w_bnd=jnp.asarray(aux_b[..., 3].astype(np.float32)),
+                nc_pad=nk_pad[k + 1], ec_pad=ek_pad[k + 1],
+                n_real=m["n"], e_real=e_k)
+        else:
+            lvl = BSMSHaloLevel(
+                graph=sgk,
+                node_rows=jnp.asarray(node_rows),
+                edge_rows_int=jnp.asarray(edge_rows_int),
+                edge_rows_bnd=jnp.asarray(edge_rows_bnd),
+                pos_of_node=jnp.asarray(pos_of_node),
+                f2c=None, e2c_int=None, e2c_bnd=None,
+                conv_self=None, rep_mask=None,
+                conv_edge_int=None, conv_edge_bnd=None,
+                edge_w_int=None, edge_w_bnd=None,
+                n_real=m["n"], e_real=e_k)
+        levels.append(lvl)
+    return BSMSHaloGraph(levels=tuple(levels))
 
 
 def _two_stream_psum_mean(e_int, e_bnd, w_int, w_bnd, ids_int, ids_bnd,
                           num_segments, axis, eps):
-    """Weighted mean over BOTH fine edge streams, reduced across shards."""
+    """Weighted mean over BOTH edge streams, reduced across shards."""
     s = (jax.ops.segment_sum(e_int * w_int[:, None], ids_int,
                              num_segments=num_segments)
          + jax.ops.segment_sum(e_bnd * w_bnd[:, None], ids_bnd,
@@ -522,197 +578,177 @@ def _two_stream_psum_mean(e_int, e_bnd, w_int, w_bnd, ids_int, ids_bnd,
     return s / jnp.maximum(c, eps)[:, None]
 
 
+def _wec_conv_sharded(lvl: BSMSHaloLevel, x, axis):
+    """Sharded WeightedEdgeConv aggregation on this level's rows: remote
+    sender rows arrive through the level's halo exchange, then the
+    receiver-owned conv is complete per shard."""
+    from aero_gnn_tpu import ops
+    from aero_gnn_tpu.parallel.halo import _exchange
+
+    g = lvl.graph
+    n_local = x.shape[0]
+    halo_x = _exchange(x, g.send_idx, axis)
+    xs_i = ops.gather_senders(x, g.senders_int, g.sender_perm_int,
+                              g.senders_int_sorted)
+    xs_b = halo_x.at[g.senders_bnd].get(mode="promise_in_bounds")
+    return (lvl.conv_self[:, None] * x
+            + jax.ops.segment_sum(lvl.conv_edge_int[:, None] * xs_i,
+                                  g.receivers_int, num_segments=n_local,
+                                  indices_are_sorted=True)
+            + jax.ops.segment_sum(lvl.conv_edge_bnd[:, None] * xs_b,
+                                  g.receivers_bnd, num_segments=n_local,
+                                  indices_are_sorted=True))
+
+
+def _wec_spread_sharded(lvl: BSMSHaloLevel, z, axis):
+    """Sharded transpose of _wec_conv_sharded: contributions to REMOTE
+    senders ship back with the REVERSE all_to_all (the manual transpose of
+    parallel.halo._exchange; unused halo slots carry exact zeros, so the
+    pad-add to row send_idx[..., 0] is a no-op)."""
+    from aero_gnn_tpu.ops import segment_pool_sum
+
+    g = lvl.graph
+    n_local = z.shape[0]
+    zr_i = z.at[g.receivers_int].get(mode="promise_in_bounds")
+    spread = segment_pool_sum(
+        lvl.conv_edge_int[:, None] * zr_i, g.senders_int, n_local,
+        perm=g.sender_perm_int, seg_sorted=g.senders_int_sorted)
+    zr_b = z.at[g.receivers_bnd].get(mode="promise_in_bounds")
+    num_slots = g.send_idx.shape[0] * g.send_idx.shape[1]
+    buf = jax.ops.segment_sum(
+        lvl.conv_edge_bnd[:, None] * zr_b, g.senders_bnd,
+        num_segments=num_slots)
+    rev = jax.lax.all_to_all(
+        buf.reshape(g.send_idx.shape[0], g.send_idx.shape[1], -1),
+        axis, split_axis=0, concat_axis=0, tiled=False)
+    spread = spread + jnp.zeros_like(z).at[
+        g.send_idx.reshape(-1)].add(rev.reshape(-1, z.shape[-1]))
+    return lvl.conv_self[:, None] * z + spread
+
+
 def bsms_halo_forward(params, cfg, bg: BSMSHaloGraph, *,
                       axis: str = "graph") -> jax.Array:
-    """Per-shard BSMS forward on the overlapped halo-split fine level
-    (inside shard_map). Uses BSMSConfig params; supports both the "mean"
-    and the "weighted" (WeightedEdgeConv) transfer, sharded."""
-    from aero_gnn_tpu import ops
-    from aero_gnn_tpu.models.bsms import wec_down, wec_up
+    """Per-shard BSMS forward with EVERY level sharded (inside shard_map).
+    Uses BSMSConfig params; supports both the "mean" and the "weighted"
+    (WeightedEdgeConv) transfer."""
     from aero_gnn_tpu.models.mgn import scan_layers
-    from aero_gnn_tpu.ops import segment_mean, segment_pool_sum
-    from aero_gnn_tpu.parallel.halo import _exchange, _halo_split_layer
+    from aero_gnn_tpu.parallel.halo import _halo_split_layer
 
-    fine = bg.fine
-    n_local = fine.nodes_per_part if fine.x.ndim == 3 else fine.x.shape[0]
-    x = M.mlp_apply(params["node_encoder"], fine.x,
-                    activation=cfg.activation)
-    e_int = M.mlp_apply(params["edge_encoder"], fine.edge_attr_int,
-                        activation=cfg.activation)
-    e_bnd = M.mlp_apply(params["edge_encoder"], fine.edge_attr_bnd,
-                        activation=cfg.activation)
-    layer_cfg = cfg.layer_cfg
     levels = bg.levels
-    n_levels = len(levels)
+    S = len(levels)
+    layer_cfg = cfg.layer_cfg
     weighted = cfg.transfer == "weighted"
 
-    def fine_stack(stacked, x, ei, eb):
+    def stack(stacked, lvl, x, ei, eb):
         def body(carry, lp):
             x, ei, eb = carry
-            x, ei, eb = _halo_split_layer(lp, layer_cfg, x, ei, eb, fine,
-                                          axis)
+            x, ei, eb = _halo_split_layer(lp, layer_cfg, x, ei, eb,
+                                          lvl.graph, axis)
             return (x, ei, eb), None
         if getattr(cfg, "remat", True):
             body = jax.checkpoint(body)
         return scan_layers(body, (x, ei, eb), stacked,
                            unroll=getattr(cfg, "unroll", False))
 
-    def coarse_stack(stacked, x, e, k):
-        # coarse level k's graph lives on levels[k-1] (its coarse side)
-        lv = levels[k - 1]
-        return run_processor(
-            stacked, layer_cfg, x, e, lv.senders, lv.receivers,
-            lv.edge_mask, sender_perm=lv.sender_perm,
-            senders_sorted=lv.senders_sorted, remat=False,
-            unroll=getattr(cfg, "unroll", False))
-
-    # ---- down: fine stack + sharded level-0 transfer ----
-    x, e_int, e_bnd = fine_stack(params["down"][0], x, e_int, e_bnd)
-    skip_fine = (x, e_int, e_bnd)
-    lvl0 = levels[0]
-    nc1 = lvl0.num_coarse_nodes_pad
-    ec1 = lvl0.num_coarse_edges_pad
+    L0 = levels[0]
+    x = M.mlp_apply(params["node_encoder"], L0.graph.x,
+                    activation=cfg.activation)
+    e_i = M.mlp_apply(params["edge_encoder"], L0.graph.edge_attr_int,
+                      activation=cfg.activation)
+    e_b = M.mlp_apply(params["edge_encoder"], L0.graph.edge_attr_bnd,
+                      activation=cfg.activation)
     dt = x.dtype
-    if weighted:
-        # WeightedEdgeConv down: remote sender rows via the halo exchange,
-        # then the receiver-owned conv is complete per shard; rep selection
-        # is local (each representative lives on exactly one shard), one
-        # psum replicates the coarse features.
-        halo_x = _exchange(x, fine.send_idx, axis)
-        xs_i = ops.gather_senders(x, fine.senders_int, fine.sender_perm_int,
-                                  fine.senders_int_sorted)
-        xs_b = halo_x.at[fine.senders_bnd].get(mode="promise_in_bounds")
-        xa = (bg.conv_self[:, None] * x
-              + jax.ops.segment_sum(bg.conv_edge_int[:, None] * xs_i,
-                                    fine.receivers_int,
-                                    num_segments=n_local,
-                                    indices_are_sorted=True)
-              + jax.ops.segment_sum(bg.conv_edge_bnd[:, None] * xs_b,
-                                    fine.receivers_bnd,
-                                    num_segments=n_local,
-                                    indices_are_sorted=True))
-        sel = xa * bg.rep_mask[:, None]
-        xc = jax.lax.psum(
-            jax.ops.segment_sum(sel, bg.fine_to_coarse, num_segments=nc1),
-            axis).astype(dt)
-        ec = _two_stream_psum_mean(
-            e_int, e_bnd, bg.edge_w_int * fine.edge_mask_int,
-            bg.edge_w_bnd * fine.edge_mask_bnd, bg.e2c_int, bg.e2c_bnd,
-            ec1, axis, 1e-12).astype(dt)
-    else:
-        xc = _psum_segment_mean(x, fine.node_mask, bg.fine_to_coarse, nc1,
-                                axis).astype(dt)
-        ec = _two_stream_psum_mean(
-            e_int, e_bnd, fine.edge_mask_int, fine.edge_mask_bnd,
-            bg.e2c_int, bg.e2c_bnd, ec1, axis, 1.0).astype(dt)
-    x, e = xc, ec
 
-    # ---- down: replicated coarse levels (identical on every shard) ----
+    # ---- down ----
     skips = []
-    for k in range(1, n_levels):
-        x, e = coarse_stack(params["down"][k], x, e, k)
-        skips.append((x, e))
-        lv = levels[k]          # transfer k -> k+1 (fine side = level k)
-        prev = levels[k - 1]    # level-k graph/masks
+    for k in range(S - 1):
+        lvl, nxt = levels[k], levels[k + 1]
+        x, e_i, e_b = stack(params["down"][k], lvl, x, e_i, e_b)
+        skips.append((x, e_i, e_b))
+        g = lvl.graph
         if weighted:
-            x = wec_down(lv, x, prev.senders, prev.receivers,
-                         prev.sender_perm, prev.senders_sorted).astype(dt)
-            w_e = lv.edge_weights * prev.edge_mask
-            es = jax.ops.segment_sum(
-                e * w_e[:, None], lv.edge_to_coarse,
-                num_segments=lv.num_coarse_edges_pad)
-            ws = jax.ops.segment_sum(
-                w_e, lv.edge_to_coarse,
-                num_segments=lv.num_coarse_edges_pad)
-            e = (es / jnp.maximum(ws, 1e-12)[:, None]).astype(dt)
+            sel = _wec_conv_sharded(lvl, x, axis) * lvl.rep_mask[:, None]
+            xc_rep = jax.lax.psum(
+                jax.ops.segment_sum(sel, lvl.f2c,
+                                    num_segments=lvl.nc_pad),
+                axis).astype(dt)
+            ec_rep = _two_stream_psum_mean(
+                e_i, e_b, lvl.edge_w_int * g.edge_mask_int,
+                lvl.edge_w_bnd * g.edge_mask_bnd, lvl.e2c_int, lvl.e2c_bnd,
+                lvl.ec_pad, axis, 1e-12).astype(dt)
         else:
-            xs = jax.ops.segment_sum(
-                x * prev.node_mask[:, None], lv.fine_to_coarse,
-                num_segments=lv.num_coarse_nodes_pad)
-            cnt = jax.ops.segment_sum(
-                prev.node_mask, lv.fine_to_coarse,
-                num_segments=lv.num_coarse_nodes_pad)
-            x = (xs / jnp.maximum(cnt, 1.0)[:, None]).astype(dt)
-            e = segment_mean(e, lv.edge_to_coarse,
-                             lv.num_coarse_edges_pad, mask=prev.edge_mask,
-                             indices_are_sorted=False).astype(dt)
+            xc_rep = _psum_segment_mean(x, g.node_mask, lvl.f2c,
+                                        lvl.nc_pad, axis).astype(dt)
+            ec_rep = _two_stream_psum_mean(
+                e_i, e_b, g.edge_mask_int, g.edge_mask_bnd,
+                lvl.e2c_int, lvl.e2c_bnd, lvl.ec_pad, axis, 1.0).astype(dt)
+        # slice the replicated next-level features to this shard's rows
+        x = xc_rep.at[nxt.node_rows].get(mode="promise_in_bounds")
+        e_i = ec_rep.at[nxt.edge_rows_int].get(mode="promise_in_bounds")
+        e_b = ec_rep.at[nxt.edge_rows_bnd].get(mode="promise_in_bounds")
 
-    # ---- bottleneck (replicated) ----
-    x, e = coarse_stack(params["bottleneck"], x, e, n_levels)
+    # ---- bottleneck (sharded, deepest level) ----
+    x, e_i, e_b = stack(params["bottleneck"], levels[S - 1], x, e_i, e_b)
 
-    # ---- up: replicated coarse levels ----
-    for i in range(n_levels - 1):
-        k = n_levels - 1 - i          # un-transfer k+1 -> k
-        lv = levels[k]
-        prev = levels[k - 1]
-        skip_x, skip_e = skips[-(i + 1)]
-        xc_f = x.at[lv.fine_to_coarse].get(mode="promise_in_bounds")
+    # ---- up ----
+    for i in range(S - 1):
+        k = S - 2 - i
+        lvl, nxt = levels[k], levels[k + 1]
+        sx, sei, seb = skips[-(i + 1)]
+        # reassemble the next level's replicated features from its shards
+        xg = jax.lax.all_gather(x, axis, axis=0, tiled=True)
+        xc_rep = xg.at[nxt.pos_of_node].get(mode="promise_in_bounds")
+        xc_l = xc_rep.at[lvl.f2c].get(mode="promise_in_bounds")
         if weighted:
-            xc_f = wec_up(lv, xc_f, prev.senders, prev.receivers,
-                          prev.sender_perm, prev.senders_sorted).astype(dt)
-        x = xc_f + skip_x
-        e = skip_e
-        x, e = coarse_stack(params["up"][i], x, e, k)
-
-    # ---- up: sharded level-0 transfer + fine stack ----
-    sx, se_int, se_bnd = skip_fine
-    xc_f = x.at[bg.fine_to_coarse].get(mode="promise_in_bounds")
-    if weighted:
-        # exact adjoint of the sharded wec_down: place each coarse value at
-        # its representative, transposed conv spreads it — contributions to
-        # REMOTE senders ship back with the REVERSE all_to_all (the manual
-        # transpose of parallel.halo._exchange: scatter boundary terms into
-        # the halo table, all_to_all, scatter-add at send_idx rows; unused
-        # halo slots carry exact zeros, so the pad-add to row send_idx[...,0]
-        # is a no-op).
-        z = xc_f * bg.rep_mask[:, None]
-        zr_i = z.at[fine.receivers_int].get(mode="promise_in_bounds")
-        spread = segment_pool_sum(
-            bg.conv_edge_int[:, None] * zr_i, fine.senders_int, n_local,
-            perm=fine.sender_perm_int, seg_sorted=fine.senders_int_sorted)
-        zr_b = z.at[fine.receivers_bnd].get(mode="promise_in_bounds")
-        num_slots = fine.send_idx.shape[0] * fine.send_idx.shape[1]
-        buf = jax.ops.segment_sum(
-            bg.conv_edge_bnd[:, None] * zr_b, fine.senders_bnd,
-            num_segments=num_slots)
-        rev = jax.lax.all_to_all(
-            buf.reshape(fine.send_idx.shape[0], fine.send_idx.shape[1], -1),
-            axis, split_axis=0, concat_axis=0, tiled=False)
-        spread = spread + jnp.zeros_like(z).at[
-            fine.send_idx.reshape(-1)].add(rev.reshape(-1, z.shape[-1]))
-        x = (bg.conv_self[:, None] * z + spread).astype(dt) + sx
-    else:
-        x = xc_f + sx
-    x, _, _ = fine_stack(params["up"][n_levels - 1], x, se_int, se_bnd)
+            z = xc_l * lvl.rep_mask[:, None]
+            xc_l = _wec_spread_sharded(lvl, z, axis).astype(dt)
+        x = xc_l + sx
+        e_i, e_b = sei, seb
+        x, e_i, e_b = stack(params["up"][i], lvl, x, e_i, e_b)
 
     return M.mlp_apply(params["decoder"], x, activation=cfg.activation)
 
 
-def _bsms_halo_in_spec(bg: BSMSHaloGraph, axis: str) -> BSMSHaloGraph:
-    return BSMSHaloGraph(
-        fine=jax.tree.map(lambda _: P(axis), bg.fine),
-        fine_to_coarse=P(axis), e2c_int=P(axis), e2c_bnd=P(axis),
-        conv_self=P(axis), rep_mask=P(axis),
-        conv_edge_int=P(axis), conv_edge_bnd=P(axis),
-        edge_w_int=P(axis), edge_w_bnd=P(axis),
-        levels=jax.tree.map(lambda _: P(), bg.levels))
-
-
 def _localize_halo(bg: BSMSHaloGraph) -> BSMSHaloGraph:
     """Strip the leading shard axis from the sharded fields (inside
-    shard_map each shard sees [1, ...]); replicated levels untouched."""
-    return BSMSHaloGraph(
-        fine=jax.tree.map(lambda a: a[0], bg.fine),
-        fine_to_coarse=bg.fine_to_coarse[0],
-        e2c_int=bg.e2c_int[0], e2c_bnd=bg.e2c_bnd[0],
-        conv_self=bg.conv_self[0], rep_mask=bg.rep_mask[0],
-        conv_edge_int=bg.conv_edge_int[0], conv_edge_bnd=bg.conv_edge_bnd[0],
-        edge_w_int=bg.edge_w_int[0], edge_w_bnd=bg.edge_w_bnd[0],
-        levels=bg.levels)
+    shard_map each shard sees [1, ...]); pos_of_node stays replicated."""
+    def _loc(lvl: BSMSHaloLevel) -> BSMSHaloLevel:
+        def first(a):
+            return None if a is None else a[0]
+        return dataclasses.replace(
+            lvl, graph=jax.tree.map(lambda a: a[0], lvl.graph),
+            node_rows=lvl.node_rows[0],
+            edge_rows_int=lvl.edge_rows_int[0],
+            edge_rows_bnd=lvl.edge_rows_bnd[0],
+            f2c=first(lvl.f2c),
+            e2c_int=first(lvl.e2c_int), e2c_bnd=first(lvl.e2c_bnd),
+            conv_self=first(lvl.conv_self), rep_mask=first(lvl.rep_mask),
+            conv_edge_int=first(lvl.conv_edge_int),
+            conv_edge_bnd=first(lvl.conv_edge_bnd),
+            edge_w_int=first(lvl.edge_w_int),
+            edge_w_bnd=first(lvl.edge_w_bnd))
+    return BSMSHaloGraph(levels=tuple(_loc(l) for l in bg.levels))
+
+
+def _bsms_halo_in_spec(bg: BSMSHaloGraph, axis: str) -> BSMSHaloGraph:
+    def spec(lvl: BSMSHaloLevel) -> BSMSHaloLevel:
+        def sh(a):
+            return None if a is None else P(axis)
+        return dataclasses.replace(
+            lvl, graph=jax.tree.map(lambda _: P(axis), lvl.graph),
+            node_rows=P(axis), edge_rows_int=P(axis), edge_rows_bnd=P(axis),
+            pos_of_node=P(),
+            f2c=sh(lvl.f2c), e2c_int=sh(lvl.e2c_int),
+            e2c_bnd=sh(lvl.e2c_bnd), conv_self=sh(lvl.conv_self),
+            rep_mask=sh(lvl.rep_mask),
+            conv_edge_int=sh(lvl.conv_edge_int),
+            conv_edge_bnd=sh(lvl.conv_edge_bnd),
+            edge_w_int=sh(lvl.edge_w_int), edge_w_bnd=sh(lvl.edge_w_bnd))
+    return BSMSHaloGraph(levels=tuple(spec(l) for l in bg.levels))
 
 
 def make_bsms_halo_forward(model_cfg, mesh: Mesh, *, axis: str = "graph"):
-    """Jitted BSMS forward on the overlapped halo-split (see
+    """Jitted BSMS forward on the all-levels-sharded halo scheme (see
     make_bsms_spatial_forward for the per-structure jit cache rationale)."""
     cache = {}
 
@@ -735,7 +771,7 @@ def make_bsms_halo_forward(model_cfg, mesh: Mesh, *, axis: str = "graph"):
 def make_bsms_halo_train_step(model_cfg, optimizer, mesh: Mesh, *,
                               axis: str = "graph"):
     """Training step for the flagship halo-split BSMS (BASELINE config[4]):
-    masked MSE + grads psum'd over the graph axis."""
+    per-shard masked-MSE share of the global loss + summed grads."""
     import optax
 
     cache = {}
@@ -745,12 +781,13 @@ def make_bsms_halo_train_step(model_cfg, optimizer, mesh: Mesh, *,
 
         def loss_fn(p):
             pred = bsms_halo_forward(p, model_cfg, bg_l, axis=axis)
-            m = bg_l.fine.node_mask[:, None]
+            g0 = bg_l.levels[0].graph
+            m = g0.node_mask[:, None]
             # LOCAL numerator / global count: a psum'd numerator would
             # inflate the grad seed P x (see parallel.spatial
             # make_spatial_train_step)
-            se = jnp.sum(jnp.square(pred - bg_l.fine.y) * m)
-            cnt = jax.lax.psum(jnp.sum(m) * bg_l.fine.y.shape[-1], axis)
+            se = jnp.sum(jnp.square(pred - g0.y) * m)
+            cnt = jax.lax.psum(jnp.sum(m) * g0.y.shape[-1], axis)
             return se / cnt
 
         loss, grads = jax.value_and_grad(loss_fn)(params)

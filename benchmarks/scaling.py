@@ -263,31 +263,30 @@ def main() -> None:
                 receivers=np.asarray(sample.receivers, np.int64),
                 x=sample.x, edge_attr=sample.edge_attr, pos=sample.pos,
                 y=sample.y, num_parts=p, num_scales=3, mode="bistride")
-            # per-layer boundary exchange on the fine stacks (2*lps of the
-            # L layers run on the fine stream); level-0 transfers all-reduce
-            # the [nc1 + ec1, h] partial sums once down + the reverse
-            # boundary all_to_all once up; coarse stacks are REPLICATED
-            # compute (no comm, no speedup)
-            Hb = bg.fine.halo_size
-            fine_a2a_bytes = (p - 1) * Hb * h * bytes_act
-            nc1 = int(bg.levels[0].num_coarse_nodes_pad)
-            ec1 = int(bg.levels[0].num_coarse_edges_pad)
-            transfer_bytes = (2 * (p - 1) / p * (nc1 + ec1) * h * 4
-                              + 2 * fine_a2a_bytes)
-            e1 = int(bg.levels[0].n_edge)
-            e2 = int(bg.levels[1].n_edge) if len(bg.levels) > 1 else 0
-            w_fine = n_edges * 2 * lps
-            w_coarse = e1 * 2 * lps + e2 * max(1, L - 4 * lps)
-            t_chip = n_edges / chip_rate
-            t_comp = t_chip * (w_fine / p + w_coarse) / (w_fine + w_coarse)
+            # EVERY level sharded: all compute 1/P. Comm = per-layer
+            # boundary all_to_all on each level's stack (overlapped with
+            # its interior compute) + per level boundary one psum + one
+            # all_gather of the replicated [nc + ec, h] transfer
+            # intermediate + the gradient all-reduce.
+            layer_counts = [2 * lps, 2 * lps, max(1, L - 4 * lps)]
+            e_levels = [lv.e_real for lv in bg.levels]
+            w_tot = sum(e * c for e, c in zip(e_levels, layer_counts))
+            t_chip = n_edges / chip_rate * w_tot / (n_edges * L)
+            t_comp = t_chip / p
+            halo_bytes_lv = [(p - 1) * lv.graph.halo_size * h * bytes_act
+                             for lv in bg.levels]
+            t_comm_halo = sum(c * b for c, b in zip(layer_counts,
+                                                    halo_bytes_lv)) / ici_bps
+            transfer_bytes = sum(
+                2 * (2 * (p - 1) / p) * (lv.nc_pad + lv.ec_pad) * h
+                * bytes_act
+                for lv in bg.levels if lv.nc_pad)
+            # overlap: the per-layer halo hides under each level's interior
             Ei_b = bg.fine.edge_attr_int.shape[1]
             Eb_b = bg.fine.edge_attr_bnd.shape[1]
-            t_comm_fine = 2 * lps * fine_a2a_bytes / ici_bps
-            t_fine_int = (t_chip * (w_fine / p) / (w_fine + w_coarse)
-                          * Ei_b / (Ei_b + Eb_b))
-            t_step = (max(t_fine_int, t_comm_fine)
-                      + t_comp - t_chip * (w_fine / p) / (w_fine + w_coarse)
-                      * Ei_b / (Ei_b + Eb_b)
+            interior_frac = Ei_b / (Ei_b + Eb_b)
+            t_int = t_comp * interior_frac
+            t_step = (max(t_int, t_comm_halo) + t_comp * (1 - interior_frac)
                       + transfer_bytes / ici_bps
                       + grad_allreduce_bytes(p) / ici_bps)
             dt = None
@@ -299,15 +298,15 @@ def main() -> None:
             entries["bsms_halo"] = {
                 "measured_ms": None if dt is None else round(dt * 1e3, 2),
                 "transfer": "weighted", "hierarchy_mode": "bistride",
-                "halo_rows_padded": int(Hb),
-                "comm_bytes_per_fine_layer": int(fine_a2a_bytes),
+                "scheme": "all-levels-sharded halo-split",
+                "halo_rows_padded_per_level":
+                    [int(lv.graph.halo_size) for lv in bg.levels],
+                "comm_bytes_halo_per_step": int(t_comm_halo * ici_bps),
                 "transfer_comm_bytes": int(transfer_bytes),
-                "replicated_coarse_work_frac":
-                    round(w_coarse / (w_fine + w_coarse), 4),
                 "model": {
                     "t_compute_ms": round(t_comp * 1e3, 3),
                     "t_comm_ms": round(
-                        (t_comm_fine + transfer_bytes / ici_bps
+                        (t_comm_halo + transfer_bytes / ici_bps
                          + grad_allreduce_bytes(p) / ici_bps) * 1e3, 3),
                     "predicted_ms": round(t_step * 1e3, 3),
                     "predicted_efficiency": round(
