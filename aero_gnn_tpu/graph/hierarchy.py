@@ -91,6 +91,15 @@ class HierarchyLevel:
     rep_mask: Optional[jax.Array] = None   # f32[Nf] 1.0 at coarse reps
     conv_self: Optional[jax.Array] = None  # f32[Nf]
     conv_edge: Optional[jax.Array] = None  # f32[Ef]
+    # conv_edge permuted by the REVERSE-edge map (conv_edge_t[e] =
+    # conv_edge[rev(e)], rev = the row of the opposite-direction edge).
+    # On the undirected mesh streams the TRANSPOSED conv equals the
+    # forward conv with these weights, so WeightedEdgeConv's adjoint runs
+    # on the same receiver-sorted fast path as the conv itself — no
+    # sender-sorted [E] reorders at run time (models/bsms.py _wec_At_raw;
+    # XLA's kCustom 1-D gathers measured ~40M rows/s). None when the
+    # stream is not symmetric (models fall back to the sorted-perm route).
+    conv_edge_t: Optional[jax.Array] = None  # f32[Ef]
 
     # Sorted-pooling permutations: fine rows ordered by their coarse target
     # (host-precomputed stable argsort of fine_to_coarse / edge_to_coarse).
@@ -175,6 +184,34 @@ def _conv_weights(senders: np.ndarray, receivers: np.ndarray,
     conv_self = node_w / denom
     conv_edge = node_w[senders] / denom[receivers]
     return conv_self, conv_edge
+
+
+def _reverse_edge_map(senders: np.ndarray,
+                      receivers: np.ndarray) -> np.ndarray:
+    """rev[i] = row of the opposite edge (receivers[i] -> senders[i]), or
+    -1 where no reverse exists. Self-loops map to themselves. Assumes at
+    most one edge per (s, r) pair (mesh streams are deduplicated)."""
+    if not len(senders):
+        return np.zeros(0, np.int64)
+    s = np.asarray(senders, np.int64)
+    r = np.asarray(receivers, np.int64)
+    n = int(max(s.max(), r.max())) + 1
+    key_fwd = s * n + r
+    order = np.argsort(key_fwd, kind="stable")
+    key_rev = r * n + s
+    pos = np.searchsorted(key_fwd[order], key_rev)
+    cand = order[np.clip(pos, 0, len(order) - 1)]
+    return np.where(key_fwd[cand] == key_rev, cand, -1)
+
+
+def _conv_edge_transposed(conv_edge: np.ndarray, senders: np.ndarray,
+                          receivers: np.ndarray) -> Optional[np.ndarray]:
+    """conv_edge[rev(e)] (see HierarchyLevel.conv_edge_t); None when the
+    stream is not symmetric."""
+    rev = _reverse_edge_map(senders, receivers)
+    if len(rev) and (rev < 0).any():
+        return None
+    return np.asarray(conv_edge)[rev] if len(rev) else np.zeros(0)
 
 
 def _rep_mask_first(fine_to_coarse: np.ndarray, num_nodes: int) -> np.ndarray:
@@ -425,6 +462,11 @@ def build_hierarchy_level(
     cself_p[:num_nodes] = cself_r
     cedge_p = np.zeros(ef_pad, dtype=dtype)
     cedge_p[: len(cedge_r)] = cedge_r
+    cedge_t_r = _conv_edge_transposed(cedge_r, senders, receivers)
+    cedge_t_p = None
+    if cedge_t_r is not None:
+        cedge_t_p = np.zeros(ef_pad, dtype=dtype)
+        cedge_t_p[: len(cedge_t_r)] = cedge_t_r
 
     sperm = np.argsort(cs_p, kind="stable").astype(np.int32)
     level = HierarchyLevel(
@@ -444,6 +486,8 @@ def build_hierarchy_level(
         rep_mask=jnp.asarray(rep_p),
         conv_self=jnp.asarray(cself_p),
         conv_edge=jnp.asarray(cedge_p),
+        conv_edge_t=(None if cedge_t_p is None
+                     else jnp.asarray(cedge_t_p)),
     )
     coarse_real = {
         "senders": c_s,
@@ -516,6 +560,7 @@ def build_hierarchy_real(
             "num_fine_nodes": cur_n, "num_fine_edges": len(cur_s),
             "pos": c_pos, "node_weights": nw, "edge_weights": ew,
             "rep_mask": rep, "conv_self": cself, "conv_edge": cedge,
+            "conv_edge_t": _conv_edge_transposed(cedge, cur_s, cur_r),
         })
         cur_s, cur_r, cur_ng, cur_n, cur_pos = c_s, c_r, c_ng, n_coarse, c_pos
     return levels
@@ -552,6 +597,8 @@ def collate_hierarchies(
         rep_p = np.zeros(nf_pad, dtype=dtype)
         cself_p = np.zeros(nf_pad, dtype=dtype)
         cedge_p = np.zeros(ef_pad, dtype=dtype)
+        cedge_t_p = np.zeros(ef_pad, dtype=dtype)
+        all_sym = True
         fn_off = fe_off = cn_off = ce_off = 0
         for gi, levels in enumerate(per_sample):
             lvl = levels[s]
@@ -574,6 +621,11 @@ def collate_hierarchies(
                 "conv_self", np.ones(nf))[:nf]
             cedge_p[fe_off:fe_off + ef] = lvl.get(
                 "conv_edge", np.zeros(ef))[:ef]
+            ct = lvl.get("conv_edge_t")
+            if ct is None:
+                all_sym = False
+            else:
+                cedge_t_p[fe_off:fe_off + ef] = ct[:ef]
             fn_off += nf
             fe_off += ef
             cn_off += nc
@@ -596,6 +648,7 @@ def collate_hierarchies(
             node_weights=jnp.asarray(nw), edge_weights=jnp.asarray(ew),
             rep_mask=jnp.asarray(rep_p), conv_self=jnp.asarray(cself_p),
             conv_edge=jnp.asarray(cedge_p),
+            conv_edge_t=jnp.asarray(cedge_t_p) if all_sym else None,
         )))
         nf_pad, ef_pad = nc_pad, ec_pad
     return out
@@ -626,6 +679,10 @@ def realign_level0(level: HierarchyLevel,
         ce = np.asarray(level.conv_edge)
         fields["conv_edge"] = jnp.asarray(
             np.where(ok, ce[idx], 0.0).astype(ce.dtype))
+    if level.conv_edge_t is not None:
+        ct = np.asarray(level.conv_edge_t)
+        fields["conv_edge_t"] = jnp.asarray(
+            np.where(ok, ct[idx], 0.0).astype(ct.dtype))
     return with_pool_perms(dataclasses.replace(level, **fields))
 
 
@@ -774,6 +831,8 @@ def align_hierarchy(
                  else np.zeros_like(nw))
         cedge = (np.asarray(level.conv_edge) if has_conv
                  else np.zeros_like(ew))
+        cedge_t = (np.asarray(level.conv_edge_t)
+                   if level.conv_edge_t is not None else None)
         nc_pad = level.num_coarse_nodes_pad
         ec_pad = level.num_coarse_edges_pad
 
@@ -784,6 +843,9 @@ def align_hierarchy(
             e2c = np.where(ok, e2c[idx], ec_pad - 1).astype(np.int32)
             ew = np.where(ok, ew[idx], 0.0).astype(ew.dtype)
             cedge = np.where(ok, cedge[idx], 0.0).astype(cedge.dtype)
+            if cedge_t is not None:
+                cedge_t = np.where(ok, cedge_t[idx],
+                                   0.0).astype(cedge_t.dtype)
         if prev_node_map is not None:
             # previous level's coarse rows were relabeled: scatter this
             # level's fine-node artifacts onto the new rows
@@ -912,6 +974,8 @@ def align_hierarchy(
             conv_fields = dict(rep_mask=jnp.asarray(rep),
                                conv_self=jnp.asarray(cself),
                                conv_edge=jnp.asarray(cedge))
+            if cedge_t is not None:
+                conv_fields["conv_edge_t"] = jnp.asarray(cedge_t)
         out.append(with_pool_perms(dataclasses.replace(
             level,
             fine_to_coarse=jnp.asarray(f2c.astype(np.int32)),

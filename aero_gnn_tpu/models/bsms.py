@@ -62,15 +62,20 @@ def _wec_A_raw(aligned, x, cs, ce, senders, receivers):
         aligned=aligned)
 
 
-def _wec_At_raw(aligned, y, cs, ce, senders, receivers, sperm, ssort):
-    """A^T y: the exact transpose, expressed on the SENDER-sorted stream —
-    gather y by receivers-in-sender-order (small table, fast) then one
-    sorted/Pallas aggregation over the ascending sender ids. This avoids
-    the [E,h] permutation gather (ops/scatter.py's sender backward needs
-    it because its cotangent is an EDGE value; here the edge value is
-    derived from NODE rows, so the reorder happens on [E] index vectors)."""
+def _wec_At_raw(aligned, y, cs, ce, ce_t, senders, receivers, sperm, ssort):
+    """A^T y: the exact transpose. On UNDIRECTED mesh streams the
+    transposed conv equals the FORWARD conv with reverse-edge-permuted
+    weights (conv_edge_t, host-precomputed: rev(e) swaps an edge with its
+    opposite, so summing over senders of e == summing over receivers of
+    rev(e)) — the adjoint rides the identical receiver-sorted fast path,
+    zero run-time reorders. Fallback for asymmetric streams: reorder on
+    the sender-sorted view ([E] index gathers — XLA's kCustom 1-D gather
+    runs at ~40M rows/s, measured 8.8 ms/step at 65k, which is why the
+    symmetric path exists)."""
     from aero_gnn_tpu import ops as _ops
 
+    if ce_t is not None:
+        return _wec_A_raw(aligned, y, cs, ce_t, senders, receivers)
     if sperm is None or ssort is None:
         zr = y.at[receivers].get(mode="promise_in_bounds")
         return cs[:, None] * y + jax.ops.segment_sum(
@@ -86,22 +91,23 @@ def _wec_At_raw(aligned, y, cs, ce, senders, receivers, sperm, ssort):
 def _wec_zero_tangents():
     # index/weight operands carry no gradients (hierarchy constants);
     # None = symbolic zero (repo custom_vjp convention, ops/scatter.py)
-    return (None, None, None, None, None, None)
+    return (None, None, None, None, None, None, None)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _wec_A_op(aligned, x, cs, ce, senders, receivers, sperm, ssort):
+def _wec_A_op(aligned, x, cs, ce, ce_t, senders, receivers, sperm, ssort):
     return _wec_A_raw(aligned, x, cs, ce, senders, receivers)
 
 
-def _wec_A_fwd(aligned, x, cs, ce, senders, receivers, sperm, ssort):
+def _wec_A_fwd(aligned, x, cs, ce, ce_t, senders, receivers, sperm, ssort):
     return _wec_A_raw(aligned, x, cs, ce, senders, receivers), \
-        (cs, ce, senders, receivers, sperm, ssort)
+        (cs, ce, ce_t, senders, receivers, sperm, ssort)
 
 
 def _wec_A_bwd(aligned, res, ct):
-    cs, ce, senders, receivers, sperm, ssort = res
-    dx = _wec_At_raw(aligned, ct, cs, ce, senders, receivers, sperm, ssort)
+    cs, ce, ce_t, senders, receivers, sperm, ssort = res
+    dx = _wec_At_raw(aligned, ct, cs, ce, ce_t, senders, receivers, sperm,
+                     ssort)
     return (dx,) + _wec_zero_tangents()
 
 
@@ -109,17 +115,19 @@ _wec_A_op.defvjp(_wec_A_fwd, _wec_A_bwd)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _wec_At_op(aligned, z, cs, ce, senders, receivers, sperm, ssort):
-    return _wec_At_raw(aligned, z, cs, ce, senders, receivers, sperm, ssort)
+def _wec_At_op(aligned, z, cs, ce, ce_t, senders, receivers, sperm, ssort):
+    return _wec_At_raw(aligned, z, cs, ce, ce_t, senders, receivers, sperm,
+                       ssort)
 
 
-def _wec_At_fwd(aligned, z, cs, ce, senders, receivers, sperm, ssort):
-    return _wec_At_raw(aligned, z, cs, ce, senders, receivers, sperm,
-                       ssort), (cs, ce, senders, receivers, sperm, ssort)
+def _wec_At_fwd(aligned, z, cs, ce, ce_t, senders, receivers, sperm, ssort):
+    return _wec_At_raw(aligned, z, cs, ce, ce_t, senders, receivers, sperm,
+                       ssort), (cs, ce, ce_t, senders, receivers, sperm,
+                                ssort)
 
 
 def _wec_At_bwd(aligned, res, ct):
-    cs, ce, senders, receivers, sperm, ssort = res
+    cs, ce, ce_t, senders, receivers, sperm, ssort = res
     dz = _wec_A_raw(aligned, ct, cs, ce, senders, receivers)
     return (dz,) + _wec_zero_tangents()
 
@@ -144,7 +152,10 @@ def wec_aggregate(level: HierarchyLevel, x: jax.Array, senders, receivers,
     on the 65k BSMS step before this, benchmarks/ablate_wec.py)."""
     cs = _wec_weight(level.conv_self, x.dtype)
     ce = _wec_weight(level.conv_edge, x.dtype)
-    return _wec_A_op(aligned, x, cs, ce, senders, receivers, sperm, ssort)
+    ce_t = (None if level.conv_edge_t is None
+            else _wec_weight(level.conv_edge_t, x.dtype))
+    return _wec_A_op(aligned, x, cs, ce, ce_t, senders, receivers, sperm,
+                     ssort)
 
 
 def wec_down(level: HierarchyLevel, x: jax.Array, senders, receivers,
@@ -179,7 +190,10 @@ def wec_up(level: HierarchyLevel, xc_fine: jax.Array, senders, receivers,
     z = xc_fine * _wec_weight(level.rep_mask, xc_fine.dtype)[:, None]
     cs = _wec_weight(level.conv_self, z.dtype)
     ce = _wec_weight(level.conv_edge, z.dtype)
-    return _wec_At_op(aligned, z, cs, ce, senders, receivers, sperm, ssort)
+    ce_t = (None if level.conv_edge_t is None
+            else _wec_weight(level.conv_edge_t, z.dtype))
+    return _wec_At_op(aligned, z, cs, ce, ce_t, senders, receivers, sperm,
+                      ssort)
 
 
 def _sorted_pool_enabled() -> bool:
