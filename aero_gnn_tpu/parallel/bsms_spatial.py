@@ -413,6 +413,9 @@ class BSMSHaloLevel:
     conv_edge_bnd: Optional[jax.Array]  # f32[P, Eb]
     edge_w_int: Optional[jax.Array]  # f32[P, Ei]
     edge_w_bnd: Optional[jax.Array]  # f32[P, Eb]
+    # sparse owner-routed transfer plan for this level boundary (None on
+    # the last level); see TransferPlan
+    plan: Optional["TransferPlan"] = None
     # padded sizes of the NEXT level's replicated intermediates (0 on last)
     nc_pad: int = dataclasses.field(default=0, metadata=dict(static=True))
     ec_pad: int = dataclasses.field(default=0, metadata=dict(static=True))
@@ -479,6 +482,7 @@ def partition_bsms_halo(
     ek_pad = [_round_up(max(len(m["s"]), 1), 128) for m in meshes]
 
     levels = []
+    host = []  # per-level np arrays for the second (plan-building) pass
     for k, m in enumerate(meshes):
         e_k = len(m["s"])
         t = trans[k] if k < len(trans) else None
@@ -561,6 +565,59 @@ def partition_bsms_halo(
                 edge_w_int=None, edge_w_bnd=None,
                 n_real=m["n"], e_real=e_k)
         levels.append(lvl)
+        host.append(dict(
+            order=order, n_local=n_local, nlp=nlp,
+            eri=edge_rows_int, erb=edge_rows_bnd, emi=emi, emb=emb,
+            f2c=(None if t is None else np.asarray(lvl.f2c)),
+            e2c_int=(None if t is None else np.asarray(lvl.e2c_int)),
+            e2c_bnd=(None if t is None else np.asarray(lvl.e2c_bnd))))
+
+    # ---- second pass: sparse owner-routed transfer plans ----
+    my_part = np.arange(num_parts)
+    for k in range(len(meshes) - 1):
+        hk, hn = host[k], host[k + 1]
+        # owner/local-row maps over the k+1 GLOBAL id spaces
+        n_next_pad = nk_pad[k + 1]
+        owner_n = np.full(n_next_pad, -1, np.int64)  # -1 = pad id
+        slot_n = np.full(n_next_pad, hn["nlp"] - 1, np.int64)
+        for p in range(num_parts):
+            chunk = hn["order"][p * hn["n_local"]:(p + 1) * hn["n_local"]]
+            owner_n[chunk] = p
+            slot_n[chunk] = np.arange(len(chunk))
+        e_next_pad = ek_pad[k + 1]
+        ei_n = hn["eri"].shape[1]
+        owner_e = np.full(e_next_pad, -1, np.int64)  # -1 = pad id
+        slot_e = np.full(e_next_pad, ei_n + hn["erb"].shape[1] - 1,
+                         np.int64)
+        for p in range(num_parts):
+            vi = hn["emi"][p]
+            owner_e[hn["eri"][p][vi]] = p
+            slot_e[hn["eri"][p][vi]] = np.flatnonzero(vi)
+            vb = hn["emb"][p]
+            owner_e[hn["erb"][p][vb]] = p
+            slot_e[hn["erb"][p][vb]] = ei_n + np.flatnonzero(vb)
+
+        node_slot, node_recv, _ = _owner_route(
+            hk["f2c"], owner_n, slot_n, my_part, hn["nlp"], num_parts)
+        # both edge streams route into the SAME combined space/staging:
+        # build jointly so staging slots are shared
+        both = np.concatenate([hk["e2c_int"], hk["e2c_bnd"]], axis=1)
+        es_both, edge_recv, _ = _owner_route(
+            both, owner_e, slot_e, my_part,
+            ei_n + hn["erb"].shape[1], num_parts)
+        es_int = es_both[:, :hk["e2c_int"].shape[1]]
+        es_bnd = es_both[:, hk["e2c_int"].shape[1]:]
+        up_fetch, up_send, _ = _fetch_route(
+            hk["f2c"], owner_n, slot_n, my_part, hn["nlp"], num_parts)
+        plan = TransferPlan(
+            node_slot=jnp.asarray(node_slot),
+            node_recv_rows=jnp.asarray(node_recv),
+            edge_slot_int=jnp.asarray(np.ascontiguousarray(es_int)),
+            edge_slot_bnd=jnp.asarray(np.ascontiguousarray(es_bnd)),
+            edge_recv_rows=jnp.asarray(edge_recv),
+            up_send_rows=jnp.asarray(up_send),
+            up_fetch=jnp.asarray(up_fetch))
+        levels[k] = dataclasses.replace(levels[k], plan=plan)
     return BSMSHaloGraph(levels=tuple(levels))
 
 
@@ -650,6 +707,28 @@ def bsms_halo_forward(params, cfg, bg: BSMSHaloGraph, *,
         return scan_layers(body, (x, ei, eb), stacked,
                            unroll=getattr(cfg, "unroll", False))
 
+    def sparse_reduce(payload, slot, recv_rows, n_dst):
+        """Owner-routed reduction: one segment-sum into [n_dst + P*Ht]
+        (local rows + per-peer staging), all_to_all the staging block,
+        scatter-add the received rows (staged pads carry exact zeros)."""
+        P_, Ht = recv_rows.shape
+        big = jax.ops.segment_sum(payload, slot,
+                                  num_segments=n_dst + P_ * Ht)
+        local, stage = big[:n_dst], big[n_dst:].reshape(P_, Ht, -1)
+        recv = jax.lax.all_to_all(stage, axis, split_axis=0,
+                                  concat_axis=0, tiled=False)
+        return local.at[recv_rows].add(recv)
+
+    def sparse_fetch(xk1, send_rows, fetch):
+        """Owner-routed gather: ship each peer its requested local rows
+        (all_to_all), then read local + received rows by ``fetch``."""
+        buf = xk1.at[send_rows].get(mode="promise_in_bounds")  # [P, Ht, h]
+        table = jax.lax.all_to_all(buf, axis, split_axis=0,
+                                   concat_axis=0, tiled=False)
+        return jnp.concatenate(
+            [xk1, table.reshape(-1, xk1.shape[-1])], axis=0
+        ).at[fetch].get(mode="promise_in_bounds")
+
     L0 = levels[0]
     x = M.mlp_apply(params["node_encoder"], L0.graph.x,
                     activation=cfg.activation)
@@ -666,26 +745,43 @@ def bsms_halo_forward(params, cfg, bg: BSMSHaloGraph, *,
         x, e_i, e_b = stack(params["down"][k], lvl, x, e_i, e_b)
         skips.append((x, e_i, e_b))
         g = lvl.graph
+        plan = lvl.plan
+        n_next = nxt.graph.node_mask.shape[0]
+        ei_next = nxt.graph.edge_mask_int.shape[0]
+        eb_next = nxt.graph.edge_mask_bnd.shape[0]
         if weighted:
             sel = _wec_conv_sharded(lvl, x, axis) * lvl.rep_mask[:, None]
-            xc_rep = jax.lax.psum(
-                jax.ops.segment_sum(sel, lvl.f2c,
-                                    num_segments=lvl.nc_pad),
-                axis).astype(dt)
-            ec_rep = _two_stream_psum_mean(
-                e_i, e_b, lvl.edge_w_int * g.edge_mask_int,
-                lvl.edge_w_bnd * g.edge_mask_bnd, lvl.e2c_int, lvl.e2c_bnd,
-                lvl.ec_pad, axis, 1e-12).astype(dt)
+            x = sparse_reduce(sel, plan.node_slot, plan.node_recv_rows,
+                              n_next).astype(dt)
+            w_i = lvl.edge_w_int * g.edge_mask_int
+            w_b = lvl.edge_w_bnd * g.edge_mask_bnd
+            eps = 1e-12
         else:
-            xc_rep = _psum_segment_mean(x, g.node_mask, lvl.f2c,
-                                        lvl.nc_pad, axis).astype(dt)
-            ec_rep = _two_stream_psum_mean(
-                e_i, e_b, g.edge_mask_int, g.edge_mask_bnd,
-                lvl.e2c_int, lvl.e2c_bnd, lvl.ec_pad, axis, 1.0).astype(dt)
-        # slice the replicated next-level features to this shard's rows
-        x = xc_rep.at[nxt.node_rows].get(mode="promise_in_bounds")
-        e_i = ec_rep.at[nxt.edge_rows_int].get(mode="promise_in_bounds")
-        e_b = ec_rep.at[nxt.edge_rows_bnd].get(mode="promise_in_bounds")
+            nm = g.node_mask.astype(x.dtype)
+            res = sparse_reduce(
+                jnp.concatenate([x * nm[:, None], nm[:, None]], axis=1),
+                plan.node_slot, plan.node_recv_rows, n_next)
+            x = (res[:, :-1]
+                 / jnp.maximum(res[:, -1:], 1.0)).astype(dt)
+            w_i, w_b = g.edge_mask_int, g.edge_mask_bnd
+            eps = 1.0
+        # edge features: both source streams reduce into the next level's
+        # combined [Ei + Eb] slot space with a shared staging block
+        P_, Ht = plan.edge_recv_rows.shape
+        d_e = ei_next + eb_next
+        pi = jnp.concatenate([e_i * w_i[:, None], w_i[:, None]], axis=1)
+        pb = jnp.concatenate([e_b * w_b[:, None], w_b[:, None]], axis=1)
+        big = (jax.ops.segment_sum(pi, plan.edge_slot_int,
+                                   num_segments=d_e + P_ * Ht)
+               + jax.ops.segment_sum(pb, plan.edge_slot_bnd,
+                                     num_segments=d_e + P_ * Ht))
+        local, stage = big[:d_e], big[d_e:].reshape(P_, Ht, -1)
+        recv = jax.lax.all_to_all(stage, axis, split_axis=0,
+                                  concat_axis=0, tiled=False)
+        comb = local.at[plan.edge_recv_rows].add(recv)
+        comb = (comb[:, :-1]
+                / jnp.maximum(comb[:, -1:], eps)).astype(dt)
+        e_i, e_b = comb[:ei_next], comb[ei_next:]
 
     # ---- bottleneck (sharded, deepest level) ----
     x, e_i, e_b = stack(params["bottleneck"], levels[S - 1], x, e_i, e_b)
@@ -693,12 +789,9 @@ def bsms_halo_forward(params, cfg, bg: BSMSHaloGraph, *,
     # ---- up ----
     for i in range(S - 1):
         k = S - 2 - i
-        lvl, nxt = levels[k], levels[k + 1]
+        lvl = levels[k]
         sx, sei, seb = skips[-(i + 1)]
-        # reassemble the next level's replicated features from its shards
-        xg = jax.lax.all_gather(x, axis, axis=0, tiled=True)
-        xc_rep = xg.at[nxt.pos_of_node].get(mode="promise_in_bounds")
-        xc_l = xc_rep.at[lvl.f2c].get(mode="promise_in_bounds")
+        xc_l = sparse_fetch(x, lvl.plan.up_send_rows, lvl.plan.up_fetch)
         if weighted:
             z = xc_l * lvl.rep_mask[:, None]
             xc_l = _wec_spread_sharded(lvl, z, axis).astype(dt)
@@ -715,6 +808,9 @@ def _localize_halo(bg: BSMSHaloGraph) -> BSMSHaloGraph:
     def _loc(lvl: BSMSHaloLevel) -> BSMSHaloLevel:
         def first(a):
             return None if a is None else a[0]
+        plan = lvl.plan
+        if plan is not None:
+            plan = jax.tree.map(lambda a: a[0], plan)
         return dataclasses.replace(
             lvl, graph=jax.tree.map(lambda a: a[0], lvl.graph),
             node_rows=lvl.node_rows[0],
@@ -726,7 +822,8 @@ def _localize_halo(bg: BSMSHaloGraph) -> BSMSHaloGraph:
             conv_edge_int=first(lvl.conv_edge_int),
             conv_edge_bnd=first(lvl.conv_edge_bnd),
             edge_w_int=first(lvl.edge_w_int),
-            edge_w_bnd=first(lvl.edge_w_bnd))
+            edge_w_bnd=first(lvl.edge_w_bnd),
+            plan=plan)
     return BSMSHaloGraph(levels=tuple(_loc(l) for l in bg.levels))
 
 
@@ -734,6 +831,9 @@ def _bsms_halo_in_spec(bg: BSMSHaloGraph, axis: str) -> BSMSHaloGraph:
     def spec(lvl: BSMSHaloLevel) -> BSMSHaloLevel:
         def sh(a):
             return None if a is None else P(axis)
+        plan = lvl.plan
+        if plan is not None:
+            plan = jax.tree.map(lambda _: P(axis), plan)
         return dataclasses.replace(
             lvl, graph=jax.tree.map(lambda _: P(axis), lvl.graph),
             node_rows=P(axis), edge_rows_int=P(axis), edge_rows_bnd=P(axis),
@@ -743,7 +843,8 @@ def _bsms_halo_in_spec(bg: BSMSHaloGraph, axis: str) -> BSMSHaloGraph:
             rep_mask=sh(lvl.rep_mask),
             conv_edge_int=sh(lvl.conv_edge_int),
             conv_edge_bnd=sh(lvl.conv_edge_bnd),
-            edge_w_int=sh(lvl.edge_w_int), edge_w_bnd=sh(lvl.edge_w_bnd))
+            edge_w_int=sh(lvl.edge_w_int), edge_w_bnd=sh(lvl.edge_w_bnd),
+            plan=plan)
     return BSMSHaloGraph(levels=tuple(spec(l) for l in bg.levels))
 
 
@@ -809,3 +910,116 @@ def make_bsms_halo_train_step(model_cfg, optimizer, mesh: Mesh, *,
         return cache[key](params, opt_state, bg)
 
     return run
+
+
+# ---------------------------------------------------------------------------
+# Sparse owner-routed transfer plans (replace the O(N) psum/all_gather
+# transfer intermediates with all_to_all of only the cross-shard rows —
+# level partitions are independently Morton-ordered, so a fine row's
+# coarse parent usually lives on the same shard and the exchanged row
+# count is a small mismatch fraction, not O(N))
+# ---------------------------------------------------------------------------
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class TransferPlan:
+    """Host-precomputed routing for one level boundary k -> k+1.
+
+    DOWN (reduce to owners): every source row/slot gets a combined
+    destination slot in [0, D + P*Ht): its owner-local destination row
+    when the owner is this shard, else a per-peer staging slot. In-jit:
+    one segment-sum into the combined space, all_to_all the staging
+    block, scatter-add the received rows at ``recv_rows``.
+
+    UP (fetch from owners): each shard ships ``send_rows`` of its local
+    destination-level rows to each peer (all_to_all), then every source
+    row reads ``fetch_idx`` from concat([local_dst, table]).
+    """
+
+    # down: node rows
+    node_slot: jax.Array       # i32[P, Nl_k] combined dst slot
+    node_recv_rows: jax.Array  # i32[P, P, Htn] local k+1 rows to add into
+    # down: edge slots (combined int+bnd destination space)
+    edge_slot_int: jax.Array   # i32[P, Ei_k]
+    edge_slot_bnd: jax.Array   # i32[P, Eb_k]
+    edge_recv_rows: jax.Array  # i32[P, P, Hte] combined local k+1 edge rows
+    # up: node fetch
+    up_send_rows: jax.Array    # i32[P, P, Htu] local k+1 rows to ship
+    up_fetch: jax.Array        # i32[P, Nl_k] into [Nl_next + P*Htu]
+
+
+def _owner_route(tgt_global: np.ndarray, owner: np.ndarray,
+                 local_slot: np.ndarray, my_part: np.ndarray,
+                 n_dst_slots: int, num_parts: int, pad_multiple: int = 8):
+    """Combined-slot routing for a [P, R] table of global destination ids.
+
+    Returns (slot [P, R], recv_rows [P, P, Ht]): slot < n_dst_slots means
+    a local destination row; n_dst_slots + q*Ht + j stages row j for peer
+    q. recv_rows[p, q, j] = the local destination row on p for peer q's
+    j-th staged slot (pads -> 0; staged pads carry exact zeros)."""
+    P_, R = tgt_global.shape
+    own = owner[tgt_global]
+    loc = local_slot[tgt_global]
+    # owner -1 marks PAD destination ids: treat as reader-local (the
+    # routed values are exact zeros; shipping them would only inflate Ht)
+    remote = (own != my_part[:, None]) & (own >= 0)
+    # unique (src, dst, local_dst_row) staging slots, like halo._halo_plan
+    src = np.repeat(np.arange(P_), R).reshape(P_, R)
+    key = (src[remote].astype(np.int64) * num_parts
+           + own[remote]) * n_dst_slots + loc[remote]
+    uk, inv = np.unique(key, return_inverse=True)
+    uk_pair = uk // n_dst_slots
+    uk_row = uk % n_dst_slots
+    seg_start = np.searchsorted(uk_pair, np.arange(num_parts * num_parts))
+    counts = np.diff(np.append(seg_start, len(uk)))
+    h_max = int(counts.max()) if len(uk) else 0
+    Ht = max(_round_up(max(h_max, 1), pad_multiple), pad_multiple)
+    slot_in_pair = np.arange(len(uk)) - seg_start[uk_pair]
+
+    slot = loc.copy().astype(np.int64)
+    # staged slot on the SOURCE shard p for peer q: n_dst + q*Ht + j
+    slot[remote] = (n_dst_slots + (uk_pair[inv] % num_parts) * Ht
+                    + slot_in_pair[inv])
+    recv_rows = np.zeros((num_parts, num_parts, Ht), np.int32)
+    # uk_pair = src*P + dst: receiving shard dst gets, from peer src, slot
+    # j -> local row uk_row
+    recv_rows[uk_pair % num_parts, uk_pair // num_parts,
+              slot_in_pair] = uk_row
+    return slot.astype(np.int32), recv_rows, Ht
+
+
+def _fetch_route(tgt_global: np.ndarray, owner: np.ndarray,
+                 local_slot: np.ndarray, my_part: np.ndarray,
+                 n_dst_rows: int, num_parts: int, pad_multiple: int = 8):
+    """UP routing: (fetch [P, R] into [n_dst_rows + P*Ht],
+    send_rows [P, P, Ht]). send_rows[p, q, j] = p's local dst row to ship
+    to q as its j-th table slot; fetch reads local rows directly and
+    remote ones from the received table."""
+    P_, R = tgt_global.shape
+    own = owner[tgt_global]
+    loc = local_slot[tgt_global]
+    # owner -1 marks PAD ids: fetch a reader-local pad row instead
+    remote = (own != my_part[:, None]) & (own >= 0)
+    dst = np.repeat(np.arange(P_), R).reshape(P_, R)  # the READER shard
+    # unique (owner, reader, row): owner ships row once per reader
+    key = (own[remote].astype(np.int64) * num_parts
+           + dst[remote]) * n_dst_rows + loc[remote]
+    uk, inv = np.unique(key, return_inverse=True)
+    uk_pair = uk // n_dst_rows
+    uk_row = uk % n_dst_rows
+    seg_start = np.searchsorted(uk_pair, np.arange(num_parts * num_parts))
+    counts = np.diff(np.append(seg_start, len(uk)))
+    h_max = int(counts.max()) if len(uk) else 0
+    Ht = max(_round_up(max(h_max, 1), pad_multiple), pad_multiple)
+    slot_in_pair = np.arange(len(uk)) - seg_start[uk_pair]
+
+    send_rows = np.zeros((num_parts, num_parts, Ht), np.int32)
+    send_rows[uk_pair // num_parts, uk_pair % num_parts,
+              slot_in_pair] = uk_row
+    fetch = loc.copy().astype(np.int64)
+    # reader-side table layout after all_to_all: block q = rows from owner
+    # q -> table slot q*Ht + j
+    fetch[remote] = (n_dst_rows
+                     + (uk_pair[inv] // num_parts) * Ht
+                     + slot_in_pair[inv])
+    return fetch.astype(np.int32), send_rows, Ht

@@ -277,10 +277,16 @@ def main() -> None:
                              for lv in bg.levels]
             t_comm_halo = sum(c * b for c, b in zip(layer_counts,
                                                     halo_bytes_lv)) / ici_bps
+            # sparse owner-routed transfers: EXACT staged-row counts from
+            # the plans (down node + down edge [h+1 wide] + up fetch)
             transfer_bytes = sum(
-                2 * (2 * (p - 1) / p) * (lv.nc_pad + lv.ec_pad) * h
-                * bytes_act
-                for lv in bg.levels if lv.nc_pad)
+                (lv.plan.node_recv_rows.shape[0]
+                 * lv.plan.node_recv_rows.shape[2] * h
+                 + lv.plan.edge_recv_rows.shape[0]
+                 * lv.plan.edge_recv_rows.shape[2] * (h + 1)
+                 + lv.plan.up_send_rows.shape[0]
+                 * lv.plan.up_send_rows.shape[2] * h) * bytes_act
+                for lv in bg.levels if lv.plan is not None)
             # overlap: the per-layer halo hides under each level's interior
             Ei_b = bg.fine.edge_attr_int.shape[1]
             Eb_b = bg.fine.edge_attr_bnd.shape[1]
