@@ -46,10 +46,15 @@ def main():
         g = padded.build_graph_batch(**mesh, num_nodes_pad=np_pad,
                                      align_edges=True)
         assert g.sender_plan is not None, cw
-        pl = g.sender_plan
-        log(f"plan {cw}: K={pl.idx.shape[0]} C={pl.idx.shape[1]} "
-            f"W={pl.window} outliers={int(pl.out_mask.sum())}"
-            f"/{pl.out_src.shape[0]}")
+        pl = g.sender_plan.bwd
+        if pl is not None:
+            log(f"bwd plan {cw}: K={pl.idx.shape[0]} C={pl.idx.shape[1]} "
+                f"W={pl.window} outliers={int(pl.out_mask.sum())}"
+                f"/{pl.out_src.shape[0]}")
+        fp = g.sender_plan.fwd
+        if fp is not None:
+            log(f"fwd plan: K={fp.lo.shape[0]} W={fp.window} "
+                f"patch_slots={fp.out_src.shape[1]}/chunk")
         variants.append((f"plan{cw}", g))
 
     cfg = MGNConfig(
