@@ -48,8 +48,8 @@ from jax.experimental.pallas import tpu as pltpu
 from aero_gnn_tpu.graph.padded import ALIGN_EDGE_TILE, ALIGN_NODE_BLOCK
 from aero_gnn_tpu.nn.mlp import LN_EPS
 from aero_gnn_tpu.ops.pallas_segment import (
-    build_onehot, build_onehot_t, derive_tiles, onehot_premask_enabled,
-    premask_receivers, recv_rows)
+    build_onehot, build_onehot_t, derive_tiles, onehot_precomp_enabled,
+    onehot_premask_enabled, precomp_onehot_t, premask_receivers, recv_rows)
 
 NB = ALIGN_NODE_BLOCK
 ET = ALIGN_EDGE_TILE
@@ -281,17 +281,26 @@ def mm_native_out() -> bool:
     return os.environ.get("AERO_GNN_MM_NATIVE", "0") == "1"
 
 
-def _make_kernel_split(n_hidden: int, activation: str, split: int):
+def _make_kernel_split(n_hidden: int, activation: str, split: int,
+                       precomp: bool = False):
     """Premask-only forward with ``split`` interleaved row groups per tile
-    (see fwd_split)."""
+    (see fwd_split). With ``precomp`` the transposed one-hot arrives as a
+    DMA'd [NB, ET] operand (onehot_precomp_enabled) instead of being
+    built from the receiver rows on the VPU."""
     if activation != "relu":
         raise ValueError("fused kernel supports relu (the reference "
                          "hardcodes ReLU in EdgeBlockSum)")
 
     def kernel(tile_block_ref, tile_first_ref,
-               recv_ref, e_ref, sg_ref, dproj_ref,
-               w_e_ref, ws_ref, bs_ref, w_out_ref, b_out_ref,
-               ln_scale_ref, ln_bias_ref, e_out_ref, agg_ref):
+               recv_ref, *rest):
+        if precomp:
+            (oh_ref, e_ref, sg_ref, dproj_ref,
+             w_e_ref, ws_ref, bs_ref, w_out_ref, b_out_ref,
+             ln_scale_ref, ln_bias_ref, e_out_ref, agg_ref) = rest
+        else:
+            (e_ref, sg_ref, dproj_ref,
+             w_e_ref, ws_ref, bs_ref, w_out_ref, b_out_ref,
+             ln_scale_ref, ln_bias_ref, e_out_ref, agg_ref) = rest
         t = pl.program_id(0)
 
         @pl.when(tile_first_ref[t] == 1)
@@ -328,9 +337,14 @@ def _make_kernel_split(n_hidden: int, activation: str, split: int):
         scale32 = ln_scale_ref[:].astype(jnp.float32)
         bias32 = ln_bias_ref[:].astype(jnp.float32)
 
-        onehot_t = [build_onehot_t(
-            jax.lax.slice_in_dim(recv, i * S, (i + 1) * S, axis=1),
-            base, dt) for i in R]
+        if precomp:
+            oh = oh_ref[0]  # [NB, ET]
+            onehot_t = [jax.lax.slice_in_dim(oh, i * S, (i + 1) * S,
+                                             axis=1) for i in R]
+        else:
+            onehot_t = [build_onehot_t(
+                jax.lax.slice_in_dim(recv, i * S, (i + 1) * S, axis=1),
+                base, dt) for i in R]
         e_h = [half(e_full, i) for i in R]
         dg = [mmd(onehot_t[i], dproj, ta=True) for i in R]
         z = [jnp.maximum(mmd(e_h[i], w_e)
@@ -409,11 +423,21 @@ def _fused_fwd(e, sg, d_proj, mask, receivers, w_e, ws, bs, w_out, b_out,
             jax.ShapeDtypeStruct((e.shape[0], 1), jnp.float32),
             jax.ShapeDtypeStruct((e.shape[0], 1), jnp.float32),
         ]
+    split = fwd_split()
+    use_split = premask and not save_acts and split >= 2 and ET % split == 0
+    precomp = use_split and onehot_precomp_enabled()
+    oh_operands = []
+    oh_specs = []
+    if precomp:
+        oh_operands = [precomp_onehot_t(recv2d, tile_block, e.dtype)]
+        oh_specs = [pl.BlockSpec((1, NB, ET), lambda t, tb, tf: (t, 0, 0),
+                                 memory_space=pltpu.VMEM)]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_tiles,),
         in_specs=[
             recv_spec,    # recv ([1, ET] rows when premasked)
+            *oh_specs,    # precomputed transposed one-hot (precomp mode)
             tile_spec(),  # e
             tile_spec(),  # sg
             block_spec(),  # d_proj (node block)
@@ -435,9 +459,9 @@ def _fused_fwd(e, sg, d_proj, mask, receivers, w_e, ws, bs, w_out, b_out,
     ws_in = ws if n_hidden else jnp.zeros((1, h, h), e.dtype)
     bs_in = (bs.reshape(n_hidden, 1, h) if n_hidden
              else jnp.zeros((1, 1, h), e.dtype))
-    split = fwd_split()
-    if premask and not save_acts and split >= 2 and ET % split == 0:
-        fwd_kernel = _make_kernel_split(n_hidden, activation, split)
+    if use_split:
+        fwd_kernel = _make_kernel_split(n_hidden, activation, split,
+                                        precomp=precomp)
     else:
         fwd_kernel = _make_kernel(n_hidden, activation, premask, save_acts)
     return pl.pallas_call(
@@ -451,10 +475,12 @@ def _fused_fwd(e, sg, d_proj, mask, receivers, w_e, ws, bs, w_out, b_out,
         cost_estimate=pl.CostEstimate(
             flops=2 * n_tiles * ET * h * h * (2 + n_hidden)
             + 4 * n_tiles * ET * NB * h,
-            bytes_accessed=4 * e.size * e.dtype.itemsize,
+            bytes_accessed=4 * e.size * e.dtype.itemsize
+            + (n_tiles * NB * ET * e.dtype.itemsize if precomp else 0),
             transcendentals=0,
         ),
-    )(tile_block, tile_first, recv2d, e, sg, d_proj, *mask_operands,
+    )(tile_block, tile_first, recv2d, *oh_operands, e, sg, d_proj,
+      *mask_operands,
       w_e, ws_in, bs_in, w_out, b_out.reshape(1, h),
       ln_scale.reshape(1, h), ln_bias.reshape(1, h))
 
@@ -687,11 +713,21 @@ def _fused_bwd(e, sg, d_proj, mask, receivers, w_e, ws, bs, w_out, b_out,
         pl.BlockSpec((ET, 1), lambda t, tb, tf: (t, 0),
                      memory_space=pltpu.VMEM)]
     mask_operands = [] if premask else [mask2d]
+    split = bwd_split()
+    use_split = premask and split >= 2 and ET % split == 0
+    precomp = use_split and onehot_precomp_enabled()
+    oh_operands = []
+    oh_specs = []
+    if precomp:
+        oh_operands = [precomp_onehot_t(recv2d, tile_block, e.dtype)]
+        oh_specs = [pl.BlockSpec((1, NB, ET), lambda t, tb, tf: (t, 0, 0),
+                                 memory_space=pltpu.VMEM)]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_tiles,),
         in_specs=[
             recv_spec,                   # recv ([1, ET] rows when premasked)
+            *oh_specs,                   # precomputed one-hot (precomp mode)
             tile_spec(), tile_spec(),    # e, sg
             block_spec(),                # d_proj (node block)
             *mask_specs,                 # mask (legacy mode only)
@@ -721,9 +757,9 @@ def _fused_bwd(e, sg, d_proj, mask, receivers, w_e, ws, bs, w_out, b_out,
     ws_in = ws if n_hidden else jnp.zeros((1, h, h), e.dtype)
     bs_in = (bs.reshape(n_hidden, 1, h) if n_hidden
              else jnp.zeros((1, 1, h), e.dtype))
-    split = bwd_split()
-    if premask and split >= 2 and ET % split == 0:
-        bwd_kernel = _make_bwd_kernel_split(n_hidden, split)
+    if use_split:
+        bwd_kernel = _make_bwd_kernel_split(n_hidden, split,
+                                            precomp=precomp)
     else:
         bwd_kernel = _make_bwd_kernel(n_hidden, premask)
     outs = pl.pallas_call(
@@ -744,10 +780,12 @@ def _fused_bwd(e, sg, d_proj, mask, receivers, w_e, ws, bs, w_out, b_out,
         cost_estimate=pl.CostEstimate(
             flops=3 * (2 * n_tiles * ET * h * h * (2 + n_hidden))
             + 6 * n_tiles * ET * NB * h,
-            bytes_accessed=7 * e.size * e.dtype.itemsize,
+            bytes_accessed=7 * e.size * e.dtype.itemsize
+            + (n_tiles * NB * ET * e.dtype.itemsize if precomp else 0),
             transcendentals=0,
         ),
-    )(tile_block, tile_first, recv2d, e, sg, d_proj, *mask_operands,
+    )(tile_block, tile_first, recv2d, *oh_operands, e, sg, d_proj,
+      *mask_operands,
       w_e, ws_in, bs_in, w_out, b_out.reshape(1, h),
       ln_scale.reshape(1, h), ln_bias.reshape(1, h), ct_e, ct_agg)
     (d_e, d_sg, d_dproj, dwe, dws, dbs, dwo, dbo, dscale, dbias) = outs
@@ -778,18 +816,30 @@ def bwd_split() -> int:
         return 2
 
 
-def _make_bwd_kernel_split(n_hidden: int, split: int):
+def _make_bwd_kernel_split(n_hidden: int, split: int,
+                           precomp: bool = False):
     """Premask-only backward with ``split`` interleaved row groups per tile
     (see bwd_split). Stage-by-stage list comprehensions emit the groups'
-    ops adjacently, so consecutive MXU ops are data-independent."""
+    ops adjacently, so consecutive MXU ops are data-independent. With
+    ``precomp`` the transposed one-hot arrives as a DMA'd [NB, ET]
+    operand (onehot_precomp_enabled) instead of a VPU build."""
 
     def kernel(tile_block_ref, tile_first_ref,
-               recv_ref, e_ref, sg_ref, dproj_ref,
-               w_e_ref, ws_ref, bs_ref, w_out_ref, b_out_ref,
-               ln_scale_ref, ln_bias_ref, ct_e_ref, ct_agg_ref,
-               de_out_ref, dsg_out_ref, ddproj_ref,
-               dwe_ref, dws_ref, dbs_ref, dwo_ref, dbo_ref,
-               dscale_ref, dbias_ref):
+               recv_ref, *rest):
+        if precomp:
+            (oh_ref, e_ref, sg_ref, dproj_ref,
+             w_e_ref, ws_ref, bs_ref, w_out_ref, b_out_ref,
+             ln_scale_ref, ln_bias_ref, ct_e_ref, ct_agg_ref,
+             de_out_ref, dsg_out_ref, ddproj_ref,
+             dwe_ref, dws_ref, dbs_ref, dwo_ref, dbo_ref,
+             dscale_ref, dbias_ref) = rest
+        else:
+            (e_ref, sg_ref, dproj_ref,
+             w_e_ref, ws_ref, bs_ref, w_out_ref, b_out_ref,
+             ln_scale_ref, ln_bias_ref, ct_e_ref, ct_agg_ref,
+             de_out_ref, dsg_out_ref, ddproj_ref,
+             dwe_ref, dws_ref, dbs_ref, dwo_ref, dbo_ref,
+             dscale_ref, dbias_ref) = rest
         t = pl.program_id(0)
 
         @pl.when(t == 0)
@@ -839,9 +889,14 @@ def _make_bwd_kernel_split(n_hidden: int, split: int):
         base = tile_block_ref[t] * NB
         recv = recv_ref[0]  # [1, ET] row layout
 
-        onehot_t = [build_onehot_t(
-            jax.lax.slice_in_dim(recv, i * S, (i + 1) * S, axis=1),
-            base, dt) for i in R]
+        if precomp:
+            oh = oh_ref[0]  # [NB, ET]
+            onehot_t = [jax.lax.slice_in_dim(oh, i * S, (i + 1) * S,
+                                             axis=1) for i in R]
+        else:
+            onehot_t = [build_onehot_t(
+                jax.lax.slice_in_dim(recv, i * S, (i + 1) * S, axis=1),
+                base, dt) for i in R]
         e_h = [half(e_full, i) for i in R]
 
         # ---- recompute forward chain, stagewise-interleaved ----

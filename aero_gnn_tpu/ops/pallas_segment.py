@@ -103,6 +103,33 @@ def recv_rows(receivers_premasked: jax.Array) -> jax.Array:
     return receivers_premasked.reshape(-1, 1, ET)
 
 
+def onehot_precomp_enabled() -> bool:
+    """AERO_GNN_ONEHOT=precomp: materialize the full [n_tiles, NB, ET]
+    transposed one-hot in HBM once per program (it is a pure function of
+    the STATIC receiver stream, so XLA CSEs the per-layer builds and
+    hoists the result out of the step loop) and DMA one [NB, ET] block
+    per tile instead of building it on the VPU. Trades ~NB*ET*2 bytes of
+    prefetchable HBM traffic per tile (which rides the kernels' spare
+    bandwidth — they sit well above their HBM floors) for the per-tile
+    compare+select+cast chain that is serialized on the in-order core's
+    issue stream ahead of the dependent matmuls."""
+    import os
+
+    return os.environ.get("AERO_GNN_ONEHOT", "premask") == "precomp"
+
+
+def precomp_onehot_t(recv2d: jax.Array, tile_block: jax.Array,
+                     dtype) -> jax.Array:
+    """[n_tiles, NB, ET] transposed one-hot from the [n_tiles, 1, ET]
+    premasked row-layout receivers (see onehot_precomp_enabled). Pad
+    edges carry receiver -1: outside every block's local range, so their
+    columns are all-zero — the mask is already folded in."""
+    local = recv2d - (tile_block * NB)[:, None, None]  # [T, 1, ET]
+    rows_iota = jax.lax.broadcasted_iota(jnp.int32, (1, NB, 1), 1)
+    eq = jnp.where(local == rows_iota, 1.0, 0.0)
+    return eq.astype(dtype)
+
+
 def _agg_kernel(tile_block_ref, tile_first_ref, recv_ref, msgs_ref,
                 mask_ref, out_ref):
     t = pl.program_id(0)

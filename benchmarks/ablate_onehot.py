@@ -77,7 +77,13 @@ def main():
 
         return params, opt_state, train_k
 
-    variants = [("mask", "0"), ("premask", "0"), ("premask", "1")]
+    # AERO_GNN_ONEHOT_SWEEP="premask:0,precomp:0" overrides the variant
+    # list (mode:save_acts pairs)
+    sweep = os.environ.get("AERO_GNN_ONEHOT_SWEEP")
+    if sweep:
+        variants = [tuple(v.split(":")) for v in sweep.split(",")]
+    else:
+        variants = [("mask", "0"), ("premask", "0"), ("premask", "1")]
     order = variants + variants[::-1]  # interleave to cancel drift
     results = {}
     with ops.use_backend("pallas"):

@@ -653,3 +653,40 @@ def test_mgn_layer_routes_to_mega(aligned_graph, monkeypatch):
     np.testing.assert_allclose(np.asarray(e_out)[real],
                                np.asarray(e_ref)[real],
                                rtol=3e-4, atol=3e-4)
+
+
+def test_fused_edge_layer_precomp_onehot_matches(aligned_graph, monkeypatch):
+    """AERO_GNN_ONEHOT=precomp (DMA'd precomputed one-hot operand instead
+    of the in-kernel VPU build) computes identical fwd + grads in both the
+    split forward and split backward kernels."""
+    from aero_gnn_tpu.ops import pallas_fused as PF
+    monkeypatch.setenv("AERO_GNN_ONEHOT", "precomp")
+    g, gb = aligned_graph
+    h = 16
+    rng = np.random.default_rng(43)
+    E, N = gb.num_edges_pad, gb.num_nodes_pad
+    f = lambda *s: jnp.asarray(rng.standard_normal(s).astype(np.float32) * 0.1)
+    e, sg, d_proj = f(E, h), f(E, h), f(N, h)
+    p = dict(w_e=f(h, h), ws=f(2, h, h), bs=f(2, h), w_out=f(h, h),
+             b_out=f(h), ln_scale=jnp.ones(h), ln_bias=jnp.zeros(h))
+    pn = jnp.asarray(rng.standard_normal((N, h)).astype(np.float32))
+    pe = jnp.asarray(rng.standard_normal((E, h)).astype(np.float32)) \
+        * gb.edge_mask[:, None]
+
+    def loss(fn, e, w_e):
+        e2, agg = fn(e, sg, d_proj, gb.edge_mask, gb.receivers, w_e,
+                     p["ws"], p["bs"], p["w_out"], p["b_out"],
+                     p["ln_scale"], p["ln_bias"], N, "relu")
+        return jnp.sum(e2 * pe) + jnp.sum(agg * pn)
+
+    with pltpu.force_tpu_interpret_mode():
+        v1, g1 = jax.value_and_grad(
+            lambda *a: loss(PF.fused_edge_layer, *a), argnums=(0, 1))(
+            e, p["w_e"])
+    v2, g2 = jax.value_and_grad(
+        lambda *a: loss(lambda *b: PF._equiv(*b[:12], num_nodes=b[12]), *a),
+        argnums=(0, 1))(e, p["w_e"])
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-4)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=3e-4, atol=3e-4)
