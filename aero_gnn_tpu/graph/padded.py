@@ -381,6 +381,15 @@ def _maybe_perm_gather_plan(sender_perm, senders_sorted, edge_mask,
     393216 rows ~ 100 MB bf16 at h=128), AERO_GNN_PG_CHUNK / AERO_GNN_PG_WIN
     geometry. May pad the sender stream to a chunk multiple (pad slots keep
     the masked-row / last-pad-node convention).
+
+    The auto gate also has a CEILING (AERO_GNN_PG_MAX_EDGES /
+    AERO_GNN_PGF_MAX_NODES): on HBM-saturated meshes the plans' index/
+    window buffers plus the chunk-padded [E, h] streams cost ~1.0 GB of
+    compile-time headroom that 16 GB chips no longer have — the round-3
+    auto gate enabled the plans at 1M nodes and pushed an otherwise-
+    fitting program to compile-OOM (BASELINE.md "1M status"). Measured:
+    plans WIN at 262k/524k nodes (<=2.1M edge rows), BREAK the fit at 1M
+    (4.2M rows); the ceilings sit between. Force with AERO_GNN_PG=1.
     """
     mode = os.environ.get("AERO_GNN_PG", "auto")
     if mode == "0":
@@ -391,9 +400,11 @@ def _maybe_perm_gather_plan(sender_perm, senders_sorted, edge_mask,
     chunk = int(os.environ.get("AERO_GNN_PG_CHUNK", 65536))
     window = int(os.environ.get("AERO_GNN_PG_WIN", 98304))
     min_edges = int(os.environ.get("AERO_GNN_PG_MIN_EDGES", 393216))
+    max_edges = int(os.environ.get("AERO_GNN_PG_MAX_EDGES", 3 * 2**20))
     # forward plan engages when the NODE table leaves the fast regime
     # (~100 MB bf16 at h=128); its window counts node rows
     fwd_min_nodes = int(os.environ.get("AERO_GNN_PGF_MIN_NODES", 393216))
+    fwd_max_nodes = int(os.environ.get("AERO_GNN_PGF_MAX_NODES", 786432))
     fwd_window = int(os.environ.get("AERO_GNN_PGF_WIN", 98304))
     if chunk % ALIGN_EDGE_TILE:
         return None, sender_perm, senders_sorted
@@ -406,7 +417,7 @@ def _maybe_perm_gather_plan(sender_perm, senders_sorted, edge_mask,
 
     bwd = None
     perm, keys = sender_perm, senders_sorted
-    if mode == "1" or num_src_rows >= min_edges:
+    if mode == "1" or min_edges <= num_src_rows < max_edges:
         pad_row = np.int32(masked_rows[-1])
         tail = (-len(sender_perm)) % chunk
         perm = np.concatenate(
@@ -427,7 +438,7 @@ def _maybe_perm_gather_plan(sender_perm, senders_sorted, edge_mask,
     fwd_mode = os.environ.get("AERO_GNN_PGF", "auto")
     if fwd_mode != "0" and (
             fwd_mode == "1" or mode == "1"
-            or num_nodes_pad >= fwd_min_nodes):
+            or fwd_min_nodes <= num_nodes_pad < fwd_max_nodes):
         # the receiver stream's length is fixed (everything keys off it),
         # so the fwd chunk must DIVIDE it: pick the tile-count divisor
         # closest to the swept 64k-row optimum (AERO_GNN_PGF_CHUNK forces

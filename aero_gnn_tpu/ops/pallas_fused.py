@@ -55,6 +55,21 @@ NB = ALIGN_NODE_BLOCK
 ET = ALIGN_EDGE_TILE
 
 
+def _warn_precomp_ignored(which, *, premask, save_acts, split, ET):
+    """AERO_GNN_ONEHOT=precomp only applies on the split-ILP kernels; a
+    silent fallback to the in-kernel one-hot would mislabel A/B probe
+    measurements (ADVICE r3), so say when the precondition fails."""
+    import warnings
+
+    reason = ("premask layout off" if not premask else
+              "save_acts forward" if save_acts else
+              f"split={split} (need >=2 with ET {ET} divisible)")
+    warnings.warn(
+        f"AERO_GNN_ONEHOT=precomp ignored in the fused {which} kernel "
+        f"({reason}); measuring the in-kernel one-hot instead",
+        stacklevel=3)
+
+
 def ln_mxu_mode() -> str:
     """AERO_GNN_LN_MXU mode: "0" = all LayerNorm reductions on the VPU,
     "1" = all on the MXU, "2" (default) = lane means on the MXU but
@@ -426,6 +441,9 @@ def _fused_fwd(e, sg, d_proj, mask, receivers, w_e, ws, bs, w_out, b_out,
     split = fwd_split()
     use_split = premask and not save_acts and split >= 2 and ET % split == 0
     precomp = use_split and onehot_precomp_enabled()
+    if onehot_precomp_enabled() and not use_split:
+        _warn_precomp_ignored("forward", premask=premask,
+                              save_acts=save_acts, split=split, ET=ET)
     oh_operands = []
     oh_specs = []
     if precomp:
@@ -716,6 +734,9 @@ def _fused_bwd(e, sg, d_proj, mask, receivers, w_e, ws, bs, w_out, b_out,
     split = bwd_split()
     use_split = premask and split >= 2 and ET % split == 0
     precomp = use_split and onehot_precomp_enabled()
+    if onehot_precomp_enabled() and not use_split:
+        _warn_precomp_ignored("backward", premask=premask,
+                              save_acts=False, split=split, ET=ET)
     oh_operands = []
     oh_specs = []
     if precomp:

@@ -112,7 +112,14 @@ def onehot_precomp_enabled() -> bool:
     prefetchable HBM traffic per tile (which rides the kernels' spare
     bandwidth — they sit well above their HBM floors) for the per-tile
     compare+select+cast chain that is serialized on the in-order core's
-    issue stream ahead of the dependent matmuls."""
+    issue stream ahead of the dependent matmuls.
+
+    Measured +7.5% SLOWER at 65k (BASELINE.md negative results) — kept as
+    an opt-in probe. FOOTPRINT WARNING: the HBM operand is
+    n_tiles*NB*ET*2 bytes bf16 (~0.5 GB per 1M edges) and is built
+    independently in the fwd and bwd wrappers per layer, relying on XLA
+    CSE across the custom_vjp/remat boundary; on the memory-tight >=262k
+    meshes this risks OOM (precomp_onehot_t warns above 512 tiles)."""
     import os
 
     return os.environ.get("AERO_GNN_ONEHOT", "premask") == "precomp"
@@ -124,6 +131,15 @@ def precomp_onehot_t(recv2d: jax.Array, tile_block: jax.Array,
     premasked row-layout receivers (see onehot_precomp_enabled). Pad
     edges carry receiver -1: outside every block's local range, so their
     columns are all-zero — the mask is already folded in."""
+    n_tiles = recv2d.shape[0]
+    if n_tiles > 512:
+        import warnings
+
+        warnings.warn(
+            f"AERO_GNN_ONEHOT=precomp materializes a {n_tiles}x{NB}x{ET} "
+            f"HBM one-hot (~{n_tiles * NB * ET * 2 / 2**30:.2f} GB bf16 "
+            f"per instance, fwd+bwd per layer before XLA CSE) — likely to "
+            f"OOM memory-tight >=262k meshes", stacklevel=3)
     local = recv2d - (tile_block * NB)[:, None, None]  # [T, 1, ET]
     rows_iota = jax.lax.broadcasted_iota(jnp.int32, (1, NB, 1), 1)
     eq = jnp.where(local == rows_iota, 1.0, 0.0)

@@ -9,16 +9,33 @@ Prints ONE JSON line:
    "vs_baseline": ...}
 
 ``vs_baseline`` compares the optimized path against a reference-style
-baseline measured in the same run: the full-concat EdgeBlock formulation on
-the plain XLA op path (what a naive port of
-/root/reference/models/mgnLayer.py:10-49 would compile to), i.e. >1.0 means
-faster than a direct translation of the reference on identical hardware.
+baseline: the full-concat EdgeBlock formulation on the plain XLA op path
+(what a naive port of /root/reference/models/mgnLayer.py:10-49 would compile
+to), i.e. >1.0 means faster than a direct translation of the reference on
+identical hardware. The baseline ms/step is a STORED same-hardware
+measurement by default (367 ms/step at 65k on TPU v5e, measured identically
+in rounds 1-3 — re-measure with BENCH_BASELINE=fresh): re-running it costs
+~2 min of relay compile + measurement per attempt, which round 3 showed can
+push the whole run past the driver's outer timeout on a wedged tunnel.
 
 Extra context (secondary metrics, config, device) goes to stderr.
+
+Wedged-tunnel armor (the TPU here sits behind a relay that intermittently
+wedges; see CLAUDE.md):
+  1. preflight: a trivial-op chip probe in a subprocess under a short
+     timeout; on hang, the probe's exact PID is killed and we wait ~90 s
+     for the chip to recover, then re-probe.
+  2. attempts run in a child process under a per-attempt timeout sized so
+     2-3 attempts + probes fit inside the driver's outer budget (healthy
+     65k run ~= 6-8 min incl. relay compiles).
+  3. the child's stdout is streamed live, so the JSON line reaches the
+     driver the moment the train measurement exists — even if a later
+     measurement (inference) hangs, the round still records a number.
 """
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -27,6 +44,13 @@ import numpy as np
 
 def log(msg):
     print(msg, file=sys.stderr, flush=True)
+
+
+# Naive-port baseline ms/step, measured on this hardware (TPU v5 lite) with
+# BENCH_BASELINE=fresh: rounds 1/2/3 all measured 367 ms at 65k nodes
+# (BASELINE.md table; BENCH_r02.json tail). Only sizes actually measured are
+# listed; other sizes report vs_baseline=null unless BENCH_BASELINE=fresh.
+STORED_BASELINE_S = {65536: 0.36719}
 
 
 def get_mesh(n_nodes, avg_degree=6, seed=0):
@@ -107,17 +131,24 @@ def main():
     mesh = get_mesh(n_nodes)
     n_edges = len(mesh["senders"])
     np_pad = -(-(n_nodes + 1) // 512) * 512
-    # baseline gets the plain layout (a naive port would not block-align);
+
+    # Baseline policy: "stored" uses the recorded same-hardware naive-port
+    # measurement (fast, robust); "fresh" re-measures it in this run;
+    # "skip" reports vs_baseline=null. BENCH_SKIP_BASELINE=1 kept for
+    # backwards compatibility with recorded command lines.
+    base_mode = os.environ.get("BENCH_BASELINE", "stored")
+    if os.environ.get("BENCH_SKIP_BASELINE"):
+        base_mode = "stored" if n_nodes in STORED_BASELINE_S else "skip"
+
     # the optimized path gets the block-aligned layout the Pallas kernel
-    # needs (exact padding, no bucket growth)
-    graph_base = padded.build_graph_batch(**mesh, num_nodes_pad=np_pad)
+    # needs (exact padding, no bucket growth); the baseline, when measured
+    # fresh, gets the plain layout (a naive port would not block-align)
     graph = padded.build_graph_batch(**mesh, num_nodes_pad=np_pad,
                                      align_edges=True)
     log(f"mesh: {n_nodes} nodes, {n_edges} edges "
-        f"(padded base {graph_base.num_nodes_pad}/{graph_base.num_edges_pad},"
-        f" aligned {graph.num_nodes_pad}/{graph.num_edges_pad})")
+        f"(aligned pad {graph.num_nodes_pad}/{graph.num_edges_pad})")
     t0 = time.perf_counter()
-    float(graph.edge_mask[0]) + float(graph_base.edge_mask[0])  # force H2D
+    float(graph.edge_mask[0])  # force H2D
     log(f"graph transfer+sync: {time.perf_counter()-t0:.1f} s")
     ITERS = int(os.environ.get("BENCH_ITERS", 16))
 
@@ -194,37 +225,41 @@ def main():
 
         return params, opt_state, train_k, fwd_k
 
-    # --- baseline: reference-style full-concat EdgeBlock on plain XLA ---
-    # (BENCH_SKIP_BASELINE=1 for mesh sizes where the naive formulation
-    # does not fit HBM at all — the 262k-node mesh OOMs the baseline)
-    if os.environ.get("BENCH_SKIP_BASELINE"):
-        t_base = None
-        log("baseline skipped (BENCH_SKIP_BASELINE)")
-    else:
-        with ops.use_backend("xla"):
-            # the naive baseline keeps per-layer remat: its [E,3h] concat
-            # activations blow HBM without it (and 367 ms/step was measured
-            # with remat on — keeping it keeps vs_baseline comparable)
-            p0, o0, step0, _ = build(do_concat_trick=False, remat=True,
-                                     unroll=False, remat_group=0)
-            t_base = time_scan_fn(step0, (p0, o0, graph_base), rtt,
-                                  iters=ITERS)
-        log(f"baseline (full-concat EdgeBlock, XLA): {t_base*1e3:.2f} "
-            f"ms/step -> {n_edges/t_base:,.0f} edges/s")
-
-    # --- optimized path ---
+    # --- optimized path FIRST: the headline number must exist before any
+    # optional measurement gets a chance to hang the run ---
     backend = os.environ.get("AERO_GNN_OPS_BACKEND", "pallas")
     dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
     with ops.use_backend(backend):
         p1, o1, step1, fwd1 = build(do_concat_trick=True,
                                     compute_dtype=dtype)
         t_opt = time_scan_fn(step1, (p1, o1, graph), rtt, iters=ITERS)
-        t_fwd = time_scan_fn(fwd1, (p1, graph), rtt, iters=ITERS)
     log(f"optimized (concat-trick, {backend}, {dtype}): "
         f"{t_opt*1e3:.2f} ms/step -> {n_edges/t_opt:,.0f} edges/s (train)")
-    log(f"inference: {t_fwd*1e3:.2f} ms/pass "
-        f"-> {1.0/t_fwd:,.2f} rollout steps/s, {n_edges/t_fwd:,.0f} edges/s")
 
+    t_base = None
+    if base_mode == "stored":
+        t_base = STORED_BASELINE_S.get(n_nodes)
+        if t_base:
+            log(f"baseline (full-concat EdgeBlock, XLA; stored "
+                f"same-hardware measurement): {t_base*1e3:.2f} ms/step")
+        else:
+            log(f"no stored baseline for {n_nodes} nodes; vs_baseline=null")
+    elif base_mode == "fresh":
+        graph_base = padded.build_graph_batch(**mesh, num_nodes_pad=np_pad)
+        with ops.use_backend("xla"):
+            # the naive baseline keeps per-layer remat: its [E,3h] concat
+            # activations blow HBM without it
+            p0, o0, step0, _ = build(do_concat_trick=False, remat=True,
+                                     unroll=False, remat_group=0)
+            t_base = time_scan_fn(step0, (p0, o0, graph_base), rtt,
+                                  iters=ITERS)
+        log(f"baseline (full-concat EdgeBlock, XLA, fresh): "
+            f"{t_base*1e3:.2f} ms/step -> {n_edges/t_base:,.0f} edges/s")
+    else:
+        log("baseline skipped")
+
+    # THE deliverable. Printed before the (optional) inference measurement
+    # so a late tunnel wedge cannot cost the round its number.
     print(json.dumps({
         "metric": "edges_per_s_per_chip",
         "value": round(n_edges / t_opt, 1),
@@ -232,32 +267,132 @@ def main():
         "vs_baseline": round(t_base / t_opt, 4) if t_base else None,
     }), flush=True)
 
+    if os.environ.get("BENCH_SKIP_INFERENCE"):
+        return
+    with ops.use_backend(backend):
+        t_fwd = time_scan_fn(fwd1, (p1, graph), rtt, iters=ITERS)
+    log(f"inference: {t_fwd*1e3:.2f} ms/pass "
+        f"-> {1.0/t_fwd:,.2f} rollout steps/s, {n_edges/t_fwd:,.0f} edges/s")
 
-def _main_with_retries() -> None:
-    """The TPU tunnel in this environment intermittently wedges (trivial
-    ops hang until the client process dies). Run the measurement in a child
-    process with a timeout and retry a few times; forward its stdout."""
-    import subprocess
 
-    attempts = int(os.environ.get("BENCH_ATTEMPTS", 3))
-    timeout_s = int(os.environ.get("BENCH_TIMEOUT_S", 1500))
-    for attempt in range(attempts):
-        env = dict(os.environ, BENCH_INNER="1")
+PROBE_CODE = """
+import time, jax, jax.numpy as jnp
+t0 = time.perf_counter()
+f = jax.jit(lambda a: a + 1.0)
+v = float(f(jnp.float32(1.0)))
+print(f"chip probe ok: {v} in {time.perf_counter()-t0:.1f}s", flush=True)
+"""
+
+
+def _probe_chip(timeout_s, recover_wait_s, max_probes):
+    """Trivial-op chip probe in a subprocess. On hang: kill the probe's
+    exact PID (the relay client) and wait for the chip to recover — the
+    CLAUDE.md recovery recipe. Returns True once a probe succeeds."""
+    for i in range(max_probes):
         try:
-            proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__)],
-                env=env, timeout=timeout_s, capture_output=True, text=True)
+            r = subprocess.run([sys.executable, "-u", "-c", PROBE_CODE],
+                               timeout=timeout_s, capture_output=True,
+                               text=True)
         except subprocess.TimeoutExpired:
-            log(f"bench attempt {attempt + 1}/{attempts} timed out after "
-                f"{timeout_s}s (wedged TPU tunnel?); retrying")
+            # subprocess.run has already SIGKILLed the exact child PID
+            log(f"chip probe {i + 1}/{max_probes} hung after {timeout_s}s; "
+                f"killed client, waiting {recover_wait_s}s for recovery")
+            time.sleep(recover_wait_s)
             continue
-        sys.stderr.write(proc.stderr)
-        if proc.returncode == 0 and proc.stdout.strip():
-            sys.stdout.write(proc.stdout)
+        if r.returncode == 0:
+            log(r.stdout.strip() or "chip probe ok")
+            return True
+        log(f"chip probe {i + 1}/{max_probes} failed rc={r.returncode}: "
+            f"{r.stderr.strip()[-300:]}")
+        time.sleep(recover_wait_s)
+    return False
+
+
+def _run_attempt(timeout_s):
+    """One measurement attempt in a child process, stdout streamed LIVE so
+    the JSON line reaches the driver the moment it exists. Returns
+    (json_seen, returncode_or_None_if_timed_out)."""
+    env = dict(os.environ, BENCH_INNER="1")
+    inner = os.environ.get("BENCH_INNER_SCRIPT", os.path.abspath(__file__))
+    proc = subprocess.Popen([sys.executable, "-u", inner],
+                            env=env, stdout=subprocess.PIPE, stderr=None,
+                            text=True, bufsize=1)
+    json_seen = False
+    deadline = time.monotonic() + timeout_s
+    import selectors
+    sel = selectors.DefaultSelector()
+    sel.register(proc.stdout, selectors.EVENT_READ)
+    buf = ""
+    while True:
+        remaining = deadline - time.monotonic()
+        if remaining <= 0:
+            proc.kill()
+            proc.wait()
+            log(f"attempt timed out after {timeout_s}s"
+                + (" (JSON already delivered)" if json_seen else ""))
+            return json_seen, None
+        if sel.select(timeout=min(remaining, 5.0)):
+            chunk = proc.stdout.readline()
+            if chunk == "" and proc.poll() is not None:
+                break
+            buf += chunk
+            if chunk.endswith("\n"):
+                line = buf.strip()
+                buf = ""
+                if line.startswith("{") and '"metric"' in line:
+                    sys.stdout.write(line + "\n")
+                    sys.stdout.flush()
+                    json_seen = True
+                    # the deliverable is out; give the remaining secondary
+                    # measurements (inference) a bounded grace, not the
+                    # whole attempt budget
+                    grace = int(os.environ.get("BENCH_POST_JSON_GRACE_S",
+                                               240))
+                    deadline = min(deadline, time.monotonic() + grace)
+                elif line:
+                    log(f"[inner stdout] {line}")
+        elif proc.poll() is not None:
+            break
+    proc.wait()
+    return json_seen, proc.returncode
+
+
+def _main_with_retries():
+    """The TPU tunnel here intermittently wedges (trivial ops hang until
+    the client process dies — CLAUDE.md). Round 3 lost its driver-recorded
+    number to exactly this: 3 x 1500 s attempts never fit the driver's
+    outer budget once the tunnel wedged. This wrapper (a) probes the chip
+    cheaply and actively recovers it BEFORE burning an attempt, (b) sizes
+    attempts at <=600 s (healthy 65k run ~= 6-8 min), (c) streams the JSON
+    out the moment it exists, and (d) respects a total deadline."""
+    attempts = int(os.environ.get("BENCH_ATTEMPTS", 3))
+    timeout_s = int(os.environ.get("BENCH_TIMEOUT_S", 600))
+    probe_timeout = int(os.environ.get("BENCH_PROBE_TIMEOUT_S", 100))
+    recover_wait = int(os.environ.get("BENCH_RECOVER_WAIT_S", 90))
+    total_budget = int(os.environ.get("BENCH_TOTAL_BUDGET_S", 1440))
+    t_start = time.monotonic()
+
+    for attempt in range(attempts):
+        elapsed = time.monotonic() - t_start
+        remaining = total_budget - elapsed
+        if remaining < 180:
+            log(f"total budget exhausted ({elapsed:.0f}s of "
+                f"{total_budget}s); giving up")
+            break
+        if not _probe_chip(probe_timeout, recover_wait,
+                           max_probes=2 if attempt == 0 else 1):
+            log(f"attempt {attempt + 1}/{attempts}: chip unresponsive "
+                f"after probes; trying the measurement anyway")
+        attempt_budget = int(min(timeout_s,
+                                 total_budget - (time.monotonic() - t_start)))
+        if attempt_budget < 120:
+            break
+        json_seen, rc = _run_attempt(attempt_budget)
+        if json_seen:
             return
-        log(f"bench attempt {attempt + 1}/{attempts} failed "
-            f"(rc={proc.returncode}); retrying")
-    raise SystemExit("bench failed after retries")
+        log(f"bench attempt {attempt + 1}/{attempts} "
+            f"{'timed out' if rc is None else f'failed rc={rc}'}; retrying")
+    raise SystemExit("bench failed: no JSON produced within budget")
 
 
 if __name__ == "__main__":

@@ -81,7 +81,14 @@ def main():
     # list (mode:save_acts pairs)
     sweep = os.environ.get("AERO_GNN_ONEHOT_SWEEP")
     if sweep:
-        variants = [tuple(v.split(":")) for v in sweep.split(",")]
+        variants = []
+        for v in sweep.split(","):
+            parts = v.split(":", 1)
+            if len(parts) != 2:
+                raise SystemExit(
+                    f"AERO_GNN_ONEHOT_SWEEP entry {v!r} must be "
+                    f"'mode:save_acts' (e.g. 'premask:0')")
+            variants.append(tuple(parts))
     else:
         variants = [("mask", "0"), ("premask", "0"), ("premask", "1")]
     order = variants + variants[::-1]  # interleave to cancel drift
