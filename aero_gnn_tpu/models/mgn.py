@@ -56,6 +56,14 @@ class MGNConfig:
     # 16 GB HBM: even "full" per-layer remat stores every layer's [E, h]
     # carry. 0 = off (per-layer remat_policy applies).
     remat_group: int = 0
+    # Offload the group-boundary (x, e) stacks to pinned host memory
+    # (only with remat_group > 1). At 1M nodes the two-level remat's
+    # boundary stacks are ~10 GB of the 16.4 GB peak ([G,E,h]+[K,E,h]
+    # bf16 + node stacks — XLA buffer report, benchmarks/fit_1m.py);
+    # streaming the OUTER stacks over PCIe trades ~8 GB of host traffic
+    # per step for the difference between fitting and compile-OOM on a
+    # 16 GB chip.
+    remat_offload: bool = False
     # Compute dtype for the processor ("float32" | "bfloat16"). The MP stack
     # is HBM-bandwidth-bound ([E,h] activations dominate traffic), so bf16
     # activations+weights nearly double throughput; params stay fp32 (master
@@ -161,6 +169,7 @@ class MGNConfig:
             aligned=graph.edges_aligned,
             unroll=self.unroll,
             remat_group=self.remat_group,
+            remat_offload=self.remat_offload,
         )
         if self.separate_decoders:
             out = jnp.concatenate(
@@ -178,7 +187,8 @@ def run_processor(stacked_layers, layer_cfg: B.MGNLayerConfig,
                   edge_mask: jax.Array, *, sender_perm=None,
                   senders_sorted=None, sender_plan=None, remat: bool = True,
                   remat_policy: str = "save_fused", aligned: bool = False,
-                  unroll: bool = False, remat_group: int = 0):
+                  unroll: bool = False, remat_group: int = 0,
+                  remat_offload: bool = False):
     """Scan the residual MP layer over stacked per-layer params.
 
     ``remat_policy`` (only with ``remat=True``):
@@ -201,6 +211,10 @@ def run_processor(stacked_layers, layer_cfg: B.MGNLayerConfig,
             sender_perm, senders_sorted, aligned, sender_plan=sender_plan)
         return (x, e), None
 
+    if remat and remat_offload and remat_group <= 1:
+        raise ValueError("remat_offload requires remat_group > 1 (the "
+                         "offload streams GROUP boundaries to host)")
+
     if remat and remat_group > 1:
         num_layers = jax.tree.leaves(stacked_layers)[0].shape[0]
         if num_layers % remat_group:
@@ -216,6 +230,48 @@ def run_processor(stacked_layers, layer_cfg: B.MGNLayerConfig,
         # the group's backward holds every member layer's fused-VJP
         # residuals (sg/d_proj, ~2.3 [E,h] each) simultaneously
         inner = jax.checkpoint(body)
+
+        if remat_offload:
+            # Stream the OUTER group-boundary (x, e) pairs to pinned host
+            # memory: a checkpoint's saved residual is its argument, so a
+            # group that TAKES a host-resident carry keeps its boundary on
+            # host until that group's backward. At 1M nodes the device-
+            # resident boundary stacks are ~10 GB of the grouped remat's
+            # 16.4 GB peak (benchmarks/fit_1m.py buffer report); this
+            # trades them for ~2x G x (E+N) x h x 2B of PCIe traffic.
+            #
+            # Structure notes (each alternative has a round-4 fit_1m
+            # record): the outer loop is UNROLLED (host-space scan carry
+            # stacks trip an XLA host-offloader async-copy bug), the inner
+            # loop is unrolled too (same bug class), and optimization
+            # barriers fence the transfers so no fusable compute lands in
+            # the host-side thunk emitter ("Fusion must have backend
+            # config" crash). The policy-based route
+            # (save_and_offload_only_these_names) silently loses its
+            # memory-space annotations inside scan jaxprs at lowering on
+            # jax 0.9 — device_put with jax.memory.Space is the form that
+            # survives.
+            def to_host(t):
+                return jax.tree.map(
+                    lambda a: jax.device_put(a, jax.memory.Space.Host), t)
+
+            def to_dev(t):
+                return jax.tree.map(
+                    lambda a: jax.device_put(a, jax.memory.Space.Device), t)
+
+            @jax.checkpoint
+            def group_from_host(carry_host, group_params):
+                carry = jax.lax.optimization_barrier(to_dev(carry_host))
+                return scan_layers(inner, carry, group_params,
+                                   unroll=True)
+
+            carry = to_host(jax.lax.optimization_barrier((x, e)))
+            for g in range(groups):
+                gp = jax.tree.map(lambda a, g=g: a[g], grouped)
+                out_dev = group_from_host(carry, gp)
+                carry = (to_host(jax.lax.optimization_barrier(out_dev))
+                         if g < groups - 1 else out_dev)
+            return carry
 
         @jax.checkpoint
         def group_body(carry, group_params):

@@ -898,7 +898,10 @@ def make_bsms_halo_train_step(model_cfg, optimizer, mesh: Mesh, *,
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 
-    def run(params, opt_state, bg):
+    def build(bg):
+        """The jitted step specialized to ``bg``'s tree structure (the
+        in_specs depend on it); exposed for AOT lowering
+        (benchmarks/multichip_aot.py)."""
         key = jax.tree.structure(bg)
         if key not in cache:
             step = shard_map(per_shard, mesh=mesh,
@@ -907,8 +910,12 @@ def make_bsms_halo_train_step(model_cfg, optimizer, mesh: Mesh, *,
                              out_specs=(P(), P(), P()),
                              check_vma=False)
             cache[key] = jax.jit(step, donate_argnums=(0, 1))
-        return cache[key](params, opt_state, bg)
+        return cache[key]
 
+    def run(params, opt_state, bg):
+        return build(bg)(params, opt_state, bg)
+
+    run.build = build
     return run
 
 

@@ -160,22 +160,30 @@ def main():
     remat_env = os.environ.get("BENCH_REMAT", "auto")
     remat = (n_nodes > 262144 if remat_env == "auto"
              else remat_env == "1")
-    # Unrolled processor (no lax.scan residual stacking copies): 92.0 ->
-    # 69.8 ms/step on the 65k mesh (benchmarks/ablate_structure.py).
-    # Defaults to the inverse of remat — with remat on, the scan body
-    # recomputes instead of stacking, and compile time matters more.
-    unroll_env = os.environ.get("BENCH_UNROLL", "auto")
-    unroll = (not remat) if unroll_env == "auto" else unroll_env == "1"
     # grouped (sqrt) remat: at >512k nodes even per-layer remat stores an
     # [E, h] carry per layer (1 GB each at 1M) — checkpoint groups of K
     # layers instead, saving only group boundaries
     remat_group = int(os.environ.get("BENCH_REMAT_GROUP", "5")) \
         if remat and n_nodes > 262144 else 0
+    # Unrolled processor: without remat it drops the lax.scan residual
+    # stacking copies (92.0 -> 69.8 ms/step at 65k,
+    # benchmarks/ablate_structure.py); WITH grouped remat the unrolled
+    # groups keep boundaries as separate freeable buffers instead of
+    # monolithic [G,E,h]/[K,E,h] scan stacks — 16.37G (compile-OOM) ->
+    # 14.22G peak at 1M (benchmarks/fit_1m.py round-4 record).
+    unroll_env = os.environ.get("BENCH_UNROLL", "auto")
+    unroll = ((not remat) or remat_group > 0) if unroll_env == "auto" \
+        else unroll_env == "1"
+    # opt-in: stream group-boundary (x, e) to pinned host memory
+    # (MGNConfig.remat_offload) — not needed to fit 1M once the grouped
+    # remat is unrolled, kept for >1M experiments
+    remat_offload = os.environ.get("BENCH_REMAT_OFFLOAD") == "1"
     log(f"per-layer remat: {remat} ({remat_env}), unroll: {unroll}, "
-        f"remat_group: {remat_group}")
+        f"remat_group: {remat_group}, remat_offload: {remat_offload}")
 
     def build(do_concat_trick, compute_dtype="float32", remat=remat,
-              unroll=unroll, remat_group=remat_group):
+              unroll=unroll, remat_group=remat_group,
+              remat_offload=remat_offload):
         cfg = MGNConfig(
             input_node_dim=6, input_edge_dim=3, output_node_dim=4,
             processor_size=15, hidden_dim_processor=128,
@@ -188,7 +196,7 @@ def main():
             num_hidden_layers_decoder=2,
             aggregation="add", do_concat_trick=do_concat_trick,
             compute_dtype=compute_dtype, remat=remat, unroll=unroll,
-            remat_group=remat_group)
+            remat_group=remat_group, remat_offload=remat_offload)
         params = cfg.init(jax.random.PRNGKey(0))
         optimizer = make_optimizer(1e-3)
         opt_state = optimizer.init(params)
@@ -250,7 +258,8 @@ def main():
             # the naive baseline keeps per-layer remat: its [E,3h] concat
             # activations blow HBM without it
             p0, o0, step0, _ = build(do_concat_trick=False, remat=True,
-                                     unroll=False, remat_group=0)
+                                     unroll=False, remat_group=0,
+                                     remat_offload=False)
             t_base = time_scan_fn(step0, (p0, o0, graph_base), rtt,
                                   iters=ITERS)
         log(f"baseline (full-concat EdgeBlock, XLA, fresh): "

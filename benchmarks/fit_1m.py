@@ -25,7 +25,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 # compile-only libtpu use: don't fight other processes (probes, benches)
 # for the single-process lockfile
-os.environ.setdefault("ALLOW_MULTIPLE_LIBTPU_PROCESS", "1")
+os.environ.setdefault("ALLOW_MULTIPLE_LIBTPU_LOAD", "true")
 
 HBM_BYTES = 15.75 * 2**30
 
@@ -79,7 +79,7 @@ def main():
             f"sender_plan={'yes' if g.sender_plan is not None else 'no'}")
         return g
 
-    def make_cfg(remat_group):
+    def make_cfg(remat_group, remat_offload=False, unroll=False):
         return MGNConfig(
             input_node_dim=6, input_edge_dim=3, output_node_dim=4,
             processor_size=15, hidden_dim_processor=128,
@@ -91,8 +91,8 @@ def main():
             num_hidden_layers_edge_encoder=2,
             num_hidden_layers_decoder=2,
             aggregation="add", do_concat_trick=True,
-            compute_dtype="bfloat16", remat=True, unroll=False,
-            remat_group=remat_group)
+            compute_dtype="bfloat16", remat=True, unroll=unroll,
+            remat_group=remat_group, remat_offload=remat_offload)
 
     def sds(tree):
         return jax.tree.map(
@@ -103,8 +103,9 @@ def main():
     iters = int(os.environ.get("FIT_ITERS", 16))
 
     def try_variant(name, graph, *, remat_group=5, donate=False,
-                    mem_level=None, mem_effort=None):
-        cfg = make_cfg(remat_group)
+                    mem_level=None, mem_effort=None, remat_offload=False,
+                    unroll=False):
+        cfg = make_cfg(remat_group, remat_offload, unroll)
         params = cfg.init(jax.random.PRNGKey(0))
         optimizer = make_optimizer(1e-3)
         opt_state = optimizer.init(params)
@@ -146,8 +147,9 @@ def main():
                     jax.config.update(k, v)
         except Exception as e:  # noqa: BLE001
             msg = str(e)
+            limit = 40000 if os.environ.get("FIT_FULL_ERR") else 400
             log(f"[{name}] FAILED in {time.time()-t0:.0f}s: "
-                f"{msg[:400]}")
+                f"{msg[:limit]}")
             return {"name": name, "fits": False, "error": msg[:2000]}
         ma = compiled.memory_analysis()
         temp = ma.temp_size_in_bytes
@@ -181,6 +183,10 @@ def main():
                     kw["remat_group"] = int(part[1:])
                 elif part == "donate":
                     kw["donate"] = True
+                elif part == "off":
+                    kw["remat_offload"] = True
+                elif part == "unroll":
+                    kw["unroll"] = True
                 elif part.startswith("L"):
                     kw["mem_level"] = part[1:]
                 elif part.startswith("E"):

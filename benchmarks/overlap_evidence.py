@@ -27,6 +27,61 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
+def analyze_schedule(txt):
+    """Parse a scheduled HLO module: for every async all-to-all, count the
+    Mosaic kernels / fusions scheduled between its start and its done (the
+    compute the exchange hides under). Returns the per-op records.
+
+    In a scheduled module (is_scheduled=true) instruction order IS the
+    issue order. With the async flags the compiler splits each exchange
+    into `all-to-all-start` / `all-to-all-done` HLOs (some builds instead
+    annotate async_collective_name="all-to-all-start"; then the wait is the
+    op's first consumer)."""
+    lines = txt.splitlines()
+    starts = []  # (line_no, %name, done_line | None)
+    kernels = []
+    for i, ln in enumerate(lines):
+        m = re.match(r"\s*(%\S+)\s*=.*\ball-to-all-start\(", ln)
+        if m:
+            starts.append([i, m.group(1), None])
+        elif re.search(r"\ball-to-all-done\((%\S+?)\)", ln):
+            src = re.search(r"\ball-to-all-done\((%\S+?)\)", ln).group(1)
+            for s in starts:
+                if s[1] == src and s[2] is None:
+                    s[2] = i
+        elif 'async_collective_name="all-to-all-start"' in ln:
+            m = re.match(r"\s*(%\S+)\s*=", ln)
+            if m:
+                starts.append([i, m.group(1), None])
+        elif "tpu_custom_call" in ln:
+            kernels.append((i, "mosaic", ln.strip().split(" = ")[0][:60]))
+        elif re.search(r"=\s*\S+\s+(fusion|dot)\(", ln):
+            kernels.append((i, "fusion",
+                            ln.strip().split(" = ")[0][:60]))
+
+    overlapped = []
+    for si, name, done in starts:
+        if done is None:  # annotated form: wait = first consumer
+            for j in range(si + 1, len(lines)):
+                if re.search(re.escape(name) + r"[,)\s]", lines[j]):
+                    done = j
+                    break
+        inside = [k for k in kernels if done and si < k[0] < done]
+        n_mos = sum(1 for k in inside if k[1] == "mosaic")
+        overlapped.append({
+            "start_line": si, "done_line": done,
+            "op": name, "mosaic_kernels_in_flight": n_mos,
+            "fusions_in_flight": len(inside) - n_mos,
+            "first_in_flight": inside[0][2] if inside else None})
+        log(f"  {name}@{si} -> done@{done}: {n_mos} Mosaic kernels + "
+            f"{len(inside) - n_mos} fusions/dots in flight")
+    n_mosaic = sum(1 for k in kernels if k[1] == "mosaic")
+    log(f"events: {len(starts)} async all-to-all starts, "
+        f"{n_mosaic} Mosaic kernel calls, "
+        f"{len(kernels) - n_mosaic} fusions/dots")
+    return overlapped
+
+
 def main():
     import jax
     import numpy as np
@@ -94,56 +149,9 @@ def main():
         f.write(txt)
     log(f"scheduled HLO saved to {hlo_path}")
 
-    # In a scheduled module (is_scheduled=true) instruction order IS the
-    # issue order. With the flags the compiler splits each exchange into
-    # `all-to-all-start` / `all-to-all-done` HLOs (some builds instead
-    # annotate the op async_collective_name="all-to-all-start"; then the
-    # wait is its first consumer). Evidence of overlap = fused interior
-    # kernels (Mosaic tpu_custom_call) scheduled while the exchange is in
-    # flight.
-    lines = txt.splitlines()
-    starts = []  # (line_no, %name, done_line | None)
-    kernels = []
-    for i, ln in enumerate(lines):
-        m = re.match(r"\s*(%\S+)\s*=.*\ball-to-all-start\(", ln)
-        if m:
-            starts.append([i, m.group(1), None])
-        elif re.search(r"\ball-to-all-done\((%\S+?)\)", ln):
-            src = re.search(r"\ball-to-all-done\((%\S+?)\)", ln).group(1)
-            for s in starts:
-                if s[1] == src and s[2] is None:
-                    s[2] = i
-        elif 'async_collective_name="all-to-all-start"' in ln:
-            m = re.match(r"\s*(%\S+)\s*=", ln)
-            if m:
-                starts.append([i, m.group(1), None])
-        elif "tpu_custom_call" in ln:
-            kernels.append((i, "mosaic", ln.strip().split(" = ")[0][:60]))
-        elif re.search(r"=\s*\S+\s+(fusion|dot)\(", ln):
-            kernels.append((i, "fusion",
-                            ln.strip().split(" = ")[0][:60]))
-
-    n_mosaic = sum(1 for k in kernels if k[1] == "mosaic")
-    log(f"events: {len(starts)} async all-to-all starts, "
-        f"{n_mosaic} Mosaic kernel calls, "
-        f"{len(kernels) - n_mosaic} fusions/dots")
-
-    overlapped = []
-    for si, name, done in starts:
-        if done is None:  # annotated form: wait = first consumer
-            for j in range(si + 1, len(lines)):
-                if re.search(re.escape(name) + r"[,)\s]", lines[j]):
-                    done = j
-                    break
-        inside = [k for k in kernels if done and si < k[0] < done]
-        n_mos = sum(1 for k in inside if k[1] == "mosaic")
-        overlapped.append({
-            "start_line": si, "done_line": done,
-            "op": name, "mosaic_kernels_in_flight": n_mos,
-            "fusions_in_flight": len(inside) - n_mos,
-            "first_in_flight": inside[0][2] if inside else None})
-        log(f"  {name}@{si} -> done@{done}: {n_mos} Mosaic kernels + "
-            f"{len(inside) - n_mos} fusions/dots in flight")
+    # Evidence of overlap = fused interior kernels (Mosaic
+    # tpu_custom_call) scheduled while the exchange is in flight.
+    overlapped = analyze_schedule(txt)
 
     n_overlapped = sum(
         1 for o in overlapped

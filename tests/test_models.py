@@ -548,6 +548,7 @@ class TestRematVariants:
         dict(remat=True, remat_policy="full"),
         dict(remat=True, remat_group=3),
         dict(remat=True, remat_group=2, unroll=True),
+        dict(remat=True, remat_group=3, remat_offload=True),
         dict(remat=False, unroll=True),
     ])
     def test_grads_match_no_remat(self, kw):
@@ -562,3 +563,8 @@ class TestRematVariants:
         gb = self._graph()
         with pytest.raises(ValueError, match="remat_group"):
             self._grads(gb, remat=True, remat_group=4)
+
+    def test_remat_offload_requires_grouping(self):
+        gb = self._graph()
+        with pytest.raises(ValueError, match="remat_offload"):
+            self._grads(gb, remat=True, remat_offload=True)
