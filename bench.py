@@ -162,8 +162,9 @@ def main():
              else remat_env == "1")
     # grouped (sqrt) remat: at >512k nodes even per-layer remat stores an
     # [E, h] carry per layer (1 GB each at 1M) — checkpoint groups of K
-    # layers instead, saving only group boundaries
-    remat_group = int(os.environ.get("BENCH_REMAT_GROUP", "5")) \
+    # layers instead, saving only group boundaries. K=3 beats K=5 at 524k
+    # (981.6 vs 1010.9 ms/step unrolled, benchmarks/ablate_524k.py r4)
+    remat_group = int(os.environ.get("BENCH_REMAT_GROUP", "3")) \
         if remat and n_nodes > 262144 else 0
     # Unrolled processor: without remat it drops the lax.scan residual
     # stacking copies (92.0 -> 69.8 ms/step at 65k,
