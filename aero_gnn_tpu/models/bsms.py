@@ -50,6 +50,19 @@ def _wec_weight(w: jax.Array, dt) -> jax.Array:
     return w
 
 
+def _wec_fused_enabled() -> bool:
+    """AERO_GNN_WEC_FUSED (default on): fold the conv weight into the
+    Pallas aggregation kernel's one-hot select (ops.aggregate_edges_
+    weighted) instead of materializing the weighted [E, h] stream in HBM
+    — the f32 weight x bf16 stream product wrote a full f32 [E, h] buffer
+    between the gather and the aggregation kernel. Weight precision on
+    the fused path follows the compute dtype (the WEC_DTYPE=compute
+    semantics); set 0 for the separate-multiply f32 path."""
+    import os
+
+    return os.environ.get("AERO_GNN_WEC_FUSED", "1") == "1"
+
+
 def _wec_A_raw(aligned, x, cs, ce, senders, receivers):
     """A x: receiver-sorted WeightedEdgeConv aggregation (fast forward —
     one small-table [N,h] gather + one Pallas MXU aggregation when the
@@ -57,6 +70,9 @@ def _wec_A_raw(aligned, x, cs, ce, senders, receivers):
     from aero_gnn_tpu import ops as _ops
 
     xs = x.at[senders].get(mode="promise_in_bounds")
+    if _wec_fused_enabled():
+        return cs[:, None] * x + _ops.aggregate_edges_weighted(
+            xs, ce, receivers, x.shape[0], aligned=aligned)
     return cs[:, None] * x + _ops.aggregate_edges(
         ce[:, None] * xs, receivers, x.shape[0], aggregation="add",
         aligned=aligned)
@@ -83,6 +99,9 @@ def _wec_At_raw(aligned, y, cs, ce, ce_t, senders, receivers, sperm, ssort):
     recv_s = receivers.at[sperm].get(mode="promise_in_bounds")
     ce_s = ce.at[sperm].get(mode="promise_in_bounds")
     ys = y.at[recv_s].get(mode="promise_in_bounds")
+    if _wec_fused_enabled():
+        return cs[:, None] * y + _ops.aggregate_edges_weighted(
+            ys, ce_s, ssort, y.shape[0], aligned=aligned)
     return cs[:, None] * y + _ops.aggregate_edges(
         ce_s[:, None] * ys, ssort, y.shape[0], aggregation="add",
         aligned=aligned)

@@ -96,3 +96,30 @@ def aggregate_edges(
                      dtype=messages.dtype)
         summed = summed / jax.numpy.maximum(deg, 1.0)[:, None]
     return summed
+
+
+def aggregate_edges_weighted(
+    messages: jax.Array,
+    weights: jax.Array,
+    receivers: jax.Array,
+    num_nodes: int,
+    *,
+    aligned: bool = False,
+) -> jax.Array:
+    """out[n] = sum_{e: recv(e)=n} weights[e] * messages[e].
+
+    On the Pallas backend with the block-aligned layout the per-edge
+    weight is folded into the aggregation kernel's one-hot select — the
+    weighted [E, h] stream never materializes in HBM (the WeightedEdgeConv
+    hot path, models/bsms.py). Elsewhere: explicit multiply + sorted
+    segment sum. Weights participate at ``messages.dtype`` precision on
+    the fused path; zero-weight pad edges need no separate mask."""
+    if _BACKEND == "pallas" and aligned:
+        from aero_gnn_tpu.ops.pallas_segment import (
+            segment_agg_weighted_pallas)
+
+        return segment_agg_weighted_pallas(messages, weights, receivers,
+                                           num_nodes)
+    return segment_sum_sorted(
+        messages * weights[:, None].astype(messages.dtype),
+        receivers, num_nodes)

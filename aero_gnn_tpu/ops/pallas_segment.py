@@ -181,6 +181,114 @@ def _agg_kernel_premask(tile_block_ref, tile_first_ref, recv_ref, msgs_ref,
     ).astype(out_ref.dtype)
 
 
+def _agg_kernel_premask_weighted(tile_block_ref, tile_first_ref, recv_ref,
+                                 w_ref, msgs_ref, out_ref):
+    """Weighted premask aggregation: the per-edge weight IS the one-hot's
+    select value (where(recv==row, w, 0)), so the weighted stream
+    w[e]*msgs[e] never materializes in HBM and the weighting costs zero
+    extra VPU ops over the plain one-hot build. Weights ride the same
+    [n_tiles, 1, ET] row layout as the receivers."""
+    t = pl.program_id(0)
+
+    @pl.when(tile_first_ref[t] == 1)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    base = tile_block_ref[t] * NB
+    edges = recv_ref.shape[2]
+    local = recv_ref[0] - base  # [1, ET]
+    rows_iota = jax.lax.broadcasted_iota(jnp.int32, (NB, edges), 0)
+    oh_w = jnp.where(local == rows_iota, w_ref[0],
+                     jnp.zeros((), jnp.float32)).astype(msgs_ref.dtype)
+    out_ref[:] += jax.lax.dot_general(
+        oh_w, msgs_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(out_ref.dtype)
+
+
+def _segment_sum_weighted_fwd(messages, weights, receivers, mask,
+                              tile_block, tile_first, num_nodes: int):
+    n_tiles = tile_block.shape[0]
+    h = messages.shape[1]
+    recv2d = recv_rows(premask_receivers(receivers, mask))
+    w2d = weights.astype(jnp.float32).reshape(-1, 1, ET)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # tile_block, tile_first
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((1, 1, ET), lambda t, tb, tf: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, ET), lambda t, tb, tf: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ET, h), lambda t, tb, tf: (t, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((NB, h), lambda t, tb, tf: (tb[t], 0),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        _agg_kernel_premask_weighted,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((num_nodes, h), messages.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_tiles * ET * NB * h,
+            bytes_accessed=(messages.size + num_nodes * h)
+            * messages.dtype.itemsize,
+            transcendentals=0,
+        ),
+    )(tile_block, tile_first, recv2d, w2d, messages)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+def _segment_sum_weighted_pallas(messages, weights, receivers, mask,
+                                 tile_block, tile_first, num_nodes: int):
+    return _segment_sum_weighted_fwd(messages, weights, receivers, mask,
+                                     tile_block, tile_first, num_nodes)
+
+
+def _sswp_fwd(messages, weights, receivers, mask, tile_block, tile_first,
+              num_nodes):
+    out = _segment_sum_weighted_fwd(messages, weights, receivers, mask,
+                                    tile_block, tile_first, num_nodes)
+    return out, (weights, receivers, mask)
+
+
+def _sswp_bwd(num_nodes, res, ct):
+    weights, receivers, mask = res
+    d_msgs = ct.at[receivers].get(mode="promise_in_bounds",
+                                  indices_are_sorted=True)
+    d_msgs = (d_msgs * weights[:, None].astype(jnp.float32)
+              * mask[:, None]).astype(d_msgs.dtype)
+    # weights are hierarchy constants (None = symbolic zero, repo
+    # custom_vjp convention)
+    return d_msgs, None, None, None, None, None
+
+
+_segment_sum_weighted_pallas.defvjp(_sswp_fwd, _sswp_bwd)
+
+
+def segment_agg_weighted_pallas(messages: jax.Array, weights: jax.Array,
+                                receivers: jax.Array,
+                                num_nodes: int) -> jax.Array:
+    """out[n] = sum_{e: recv(e)=n} weights[e] * messages[e], weight folded
+    into the one-hot select (see _agg_kernel_premask_weighted). REQUIRES
+    the block-aligned layout + premask mode; falls back to the sorted XLA
+    path otherwise. Weights participate at ``messages.dtype`` precision
+    inside the kernel (the WEC_DTYPE=compute semantics)."""
+    if (messages.shape[0] % ET != 0 or num_nodes % NB != 0
+            or not onehot_premask_enabled()):
+        from aero_gnn_tpu.ops import scatter as S
+
+        return S.segment_sum_sorted(
+            messages * weights[:, None].astype(messages.dtype),
+            receivers, num_nodes)
+    tile_block, tile_first = derive_tiles(receivers)
+    mask = jnp.ones(messages.shape[0], dtype=jnp.float32)
+    return _segment_sum_weighted_pallas(messages, weights, receivers, mask,
+                                        tile_block, tile_first, num_nodes)
+
+
 def _segment_sum_fwd_pallas(messages, receivers, mask, tile_block,
                             tile_first, num_nodes: int):
     n_tiles = tile_block.shape[0]

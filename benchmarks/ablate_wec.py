@@ -100,7 +100,17 @@ def main():
         ("weighted+both", "weighted", {"AERO_GNN_SORTED_POOL": "1",
                                        "AERO_GNN_WEC_DTYPE": "compute"}),
     ]
-    envs = ("AERO_GNN_SORTED_POOL", "AERO_GNN_WEC_DTYPE")
+    if os.environ.get("ABLATE_WEC_FUSED"):
+        # round-4 fused-weight A/B: the conv weight folded into the
+        # aggregation kernel's one-hot (ops.aggregate_edges_weighted) vs
+        # the separate [E,h] f32 multiply
+        variants = [
+            ("mean", "mean", {"AERO_GNN_WEC_FUSED": "0"}),
+            ("weighted-unfused", "weighted", {"AERO_GNN_WEC_FUSED": "0"}),
+            ("weighted-fused", "weighted", {"AERO_GNN_WEC_FUSED": "1"}),
+        ]
+    envs = ("AERO_GNN_SORTED_POOL", "AERO_GNN_WEC_DTYPE",
+            "AERO_GNN_WEC_FUSED")
     with ops.use_backend("pallas"):
         levels = build_levels(mesh, graph, amap, aligned=True)
         steps = []

@@ -45,6 +45,42 @@ def test_pallas_segment_sum_matches_oracle(aligned_graph):
     np.testing.assert_allclose(np.asarray(out)[300:], 0.0, atol=1e-6)
 
 
+def test_pallas_segment_sum_weighted_matches_oracle(aligned_graph):
+    from aero_gnn_tpu.ops.pallas_segment import segment_agg_weighted_pallas
+
+    g, gb = aligned_graph
+    rng = np.random.default_rng(3)
+    w = (rng.standard_normal(gb.num_edges_pad).astype(np.float32)
+         * np.asarray(gb.edge_mask))
+    with pltpu.force_tpu_interpret_mode():
+        out = segment_agg_weighted_pallas(gb.edge_attr, jnp.asarray(w),
+                                          gb.receivers, gb.num_nodes_pad)
+    expect = scatter_add(np.asarray(gb.edge_attr) * w[:, None],
+                         np.asarray(gb.receivers), gb.num_nodes_pad)
+    np.testing.assert_allclose(np.asarray(out), expect[:gb.num_nodes_pad],
+                               rtol=1e-4, atol=1e-4)
+    # gradient rides the sorted-gather VJP
+    with pltpu.force_tpu_interpret_mode():
+        def f(m):
+            return jnp.sum(segment_agg_weighted_pallas(
+                m, jnp.asarray(w), gb.receivers, gb.num_nodes_pad) ** 2)
+
+        gr = jax.grad(f)(gb.edge_attr)
+    def f_ref(m):
+        s = scatter_add(m * w[:, None], np.asarray(gb.receivers),
+                        gb.num_nodes_pad)
+        return (s ** 2).sum()
+    import numpy.testing as npt
+    eps = 1e-3
+    m0 = np.asarray(gb.edge_attr, np.float64)
+    probe = [(0, 0), (7, 1), (131, 2)]
+    for (i, j) in probe:
+        mp = m0.copy(); mp[i, j] += eps
+        mm = m0.copy(); mm[i, j] -= eps
+        fd = (f_ref(mp) - f_ref(mm)) / (2 * eps)
+        npt.assert_allclose(np.asarray(gr)[i, j], fd, rtol=1e-2, atol=1e-3)
+
+
 def test_pallas_segment_mean_matches_oracle(aligned_graph):
     g, gb = aligned_graph
     with pltpu.force_tpu_interpret_mode():
