@@ -64,6 +64,15 @@ class MGNConfig:
     # per step for the difference between fitting and compile-OOM on a
     # 16 GB chip.
     remat_offload: bool = False
+    # Checkpoint policy for the INNER (per-layer) checkpoints inside
+    # grouped remat: "full" (recompute each layer's forward again in its
+    # backward — minimum memory, THREE forward executions per step) or
+    # "save_fused" (keep the fused-kernel boundary tensors sg/d_proj/agg
+    # during the group replay, so each layer's backward skips its second
+    # recompute — one fewer forward pass at ~K x 1.5 [E,h]-equivalents of
+    # extra peak). Measured A/B in benchmarks/ablate_524k.py; bench.py
+    # picks per mesh size (the extra K x ~2.6 GB at 1M may break the fit).
+    remat_group_policy: str = "full"
     # Compute dtype for the processor ("float32" | "bfloat16"). The MP stack
     # is HBM-bandwidth-bound ([E,h] activations dominate traffic), so bf16
     # activations+weights nearly double throughput; params stay fp32 (master
@@ -170,6 +179,7 @@ class MGNConfig:
             unroll=self.unroll,
             remat_group=self.remat_group,
             remat_offload=self.remat_offload,
+            remat_group_policy=self.remat_group_policy,
         )
         if self.separate_decoders:
             out = jnp.concatenate(
@@ -188,7 +198,8 @@ def run_processor(stacked_layers, layer_cfg: B.MGNLayerConfig,
                   senders_sorted=None, sender_plan=None, remat: bool = True,
                   remat_policy: str = "save_fused", aligned: bool = False,
                   unroll: bool = False, remat_group: int = 0,
-                  remat_offload: bool = False):
+                  remat_offload: bool = False,
+                  remat_group_policy: str = "full"):
     """Scan the residual MP layer over stacked per-layer params.
 
     ``remat_policy`` (only with ``remat=True``):
@@ -228,8 +239,17 @@ def run_processor(stacked_layers, layer_cfg: B.MGNLayerConfig,
         # two-level remat: the outer checkpoint saves only group-boundary
         # (x, e); the INNER per-layer checkpoint matters too — without it,
         # the group's backward holds every member layer's fused-VJP
-        # residuals (sg/d_proj, ~2.3 [E,h] each) simultaneously
-        inner = jax.checkpoint(body)
+        # residuals (sg/d_proj, ~2.3 [E,h] each) simultaneously.
+        # remat_group_policy="save_fused" keeps exactly those named
+        # residuals during the group replay — each layer's backward then
+        # skips its own (third) forward recompute; peak rises by
+        # K x (sg + d_proj + agg) per group (see MGNConfig docstring).
+        if remat_group_policy == "save_fused":
+            inner = jax.checkpoint(
+                body, policy=jax.checkpoint_policies.save_only_these_names(
+                    "mgn_sg", "mgn_dproj", "mgn_agg"))
+        else:
+            inner = jax.checkpoint(body)
 
         if remat_offload:
             # Stream the OUTER group-boundary (x, e) pairs to pinned host

@@ -179,12 +179,21 @@ def main():
     # (MGNConfig.remat_offload) — not needed to fit 1M once the grouped
     # remat is unrolled, kept for >1M experiments
     remat_offload = os.environ.get("BENCH_REMAT_OFFLOAD") == "1"
+    # inner checkpoint policy for grouped remat: save_fused skips the
+    # per-layer THIRD forward (980.8 -> 875.7 ms at 524k,
+    # benchmarks/ablate_524k.py) but its K x (sg+d_proj+agg) residuals
+    # break the 1M fit (fit_1m K3+unroll+sf OOM) — full there
+    gp_env = os.environ.get("BENCH_REMAT_GROUP_POLICY", "auto")
+    remat_group_policy = ("save_fused" if n_nodes <= 524288 else "full") \
+        if gp_env == "auto" else gp_env
     log(f"per-layer remat: {remat} ({remat_env}), unroll: {unroll}, "
-        f"remat_group: {remat_group}, remat_offload: {remat_offload}")
+        f"remat_group: {remat_group} ({remat_group_policy}), "
+        f"remat_offload: {remat_offload}")
 
     def build(do_concat_trick, compute_dtype="float32", remat=remat,
               unroll=unroll, remat_group=remat_group,
-              remat_offload=remat_offload):
+              remat_offload=remat_offload,
+              remat_group_policy=remat_group_policy):
         cfg = MGNConfig(
             input_node_dim=6, input_edge_dim=3, output_node_dim=4,
             processor_size=15, hidden_dim_processor=128,
@@ -197,7 +206,8 @@ def main():
             num_hidden_layers_decoder=2,
             aggregation="add", do_concat_trick=do_concat_trick,
             compute_dtype=compute_dtype, remat=remat, unroll=unroll,
-            remat_group=remat_group, remat_offload=remat_offload)
+            remat_group=remat_group, remat_offload=remat_offload,
+            remat_group_policy=remat_group_policy)
         params = cfg.init(jax.random.PRNGKey(0))
         optimizer = make_optimizer(1e-3)
         opt_state = optimizer.init(params)

@@ -59,7 +59,7 @@ def main():
             graphs[pg] = g
         return graphs[pg]
 
-    def build(remat_group, remat_offload, unroll=False):
+    def build(remat_group, remat_offload, unroll=False, gpolicy="full"):
         cfg = MGNConfig(
             input_node_dim=6, input_edge_dim=3, output_node_dim=4,
             processor_size=15, hidden_dim_processor=128,
@@ -72,7 +72,8 @@ def main():
             num_hidden_layers_decoder=2,
             aggregation="add", do_concat_trick=True,
             compute_dtype="bfloat16", remat=True, unroll=unroll,
-            remat_group=remat_group, remat_offload=remat_offload)
+            remat_group=remat_group, remat_offload=remat_offload,
+            remat_group_policy=gpolicy)
         params = cfg.init(jax.random.PRNGKey(0))
         optimizer = make_optimizer(1e-3)
         opt_state = optimizer.init(params)
@@ -107,6 +108,8 @@ def main():
         "K5+unroll": (5, False, True, True),
         "K5+unroll+nopg": (5, False, False, True),
         "K3+unroll": (3, False, True, True),
+        "K3+unroll+sf": (3, False, True, True, "save_fused"),
+        "K5+unroll+sf": (5, False, True, True, "save_fused"),
     }
     sel = os.environ.get("ABLATE_CONFIGS")
     names = [s.strip() for s in sel.split(",")] if sel \
@@ -115,10 +118,11 @@ def main():
     built = {}
     with ops.use_backend("pallas"):
         for name in names:
-            k, off, pg, unroll = all_cfgs[name]
+            k, off, pg, unroll, *rest = all_cfgs[name]
             g = graph_for(pg)
             t0 = time.time()
-            p, o, step = build(k, off, unroll)
+            p, o, step = build(k, off, unroll,
+                               rest[0] if rest else "full")
             # compile + warm now so the timed reps interleave cleanly
             try:
                 float(step(p, o, g))

@@ -79,7 +79,8 @@ def main():
             f"sender_plan={'yes' if g.sender_plan is not None else 'no'}")
         return g
 
-    def make_cfg(remat_group, remat_offload=False, unroll=False):
+    def make_cfg(remat_group, remat_offload=False, unroll=False,
+                 gpolicy="full"):
         return MGNConfig(
             input_node_dim=6, input_edge_dim=3, output_node_dim=4,
             processor_size=15, hidden_dim_processor=128,
@@ -92,7 +93,8 @@ def main():
             num_hidden_layers_decoder=2,
             aggregation="add", do_concat_trick=True,
             compute_dtype="bfloat16", remat=True, unroll=unroll,
-            remat_group=remat_group, remat_offload=remat_offload)
+            remat_group=remat_group, remat_offload=remat_offload,
+            remat_group_policy=gpolicy)
 
     def sds(tree):
         return jax.tree.map(
@@ -104,8 +106,8 @@ def main():
 
     def try_variant(name, graph, *, remat_group=5, donate=False,
                     mem_level=None, mem_effort=None, remat_offload=False,
-                    unroll=False):
-        cfg = make_cfg(remat_group, remat_offload, unroll)
+                    unroll=False, gpolicy="full"):
+        cfg = make_cfg(remat_group, remat_offload, unroll, gpolicy)
         params = cfg.init(jax.random.PRNGKey(0))
         optimizer = make_optimizer(1e-3)
         opt_state = optimizer.init(params)
@@ -187,6 +189,8 @@ def main():
                     kw["remat_offload"] = True
                 elif part == "unroll":
                     kw["unroll"] = True
+                elif part == "sf":
+                    kw["gpolicy"] = "save_fused"
                 elif part.startswith("L"):
                     kw["mem_level"] = part[1:]
                 elif part.startswith("E"):

@@ -549,6 +549,7 @@ class TestRematVariants:
         dict(remat=True, remat_group=3),
         dict(remat=True, remat_group=2, unroll=True),
         dict(remat=True, remat_group=3, remat_offload=True),
+        dict(remat=True, remat_group=3, remat_group_policy="save_fused"),
         dict(remat=False, unroll=True),
     ])
     def test_grads_match_no_remat(self, kw):
