@@ -184,7 +184,7 @@ def main():
     # benchmarks/ablate_524k.py) but its K x (sg+d_proj+agg) residuals
     # break the 1M fit (fit_1m K3+unroll+sf OOM) — full there
     gp_env = os.environ.get("BENCH_REMAT_GROUP_POLICY", "auto")
-    remat_group_policy = ("save_fused" if n_nodes <= 524288 else "full") \
+    remat_group_policy = ("save_fused" if n_nodes <= 786432 else "full") \
         if gp_env == "auto" else gp_env
     log(f"per-layer remat: {remat} ({remat_env}), unroll: {unroll}, "
         f"remat_group: {remat_group} ({remat_group_policy}), "

@@ -110,6 +110,9 @@ def main():
         "K3+unroll": (3, False, True, True),
         "K3+unroll+sf": (3, False, True, True, "save_fused"),
         "K5+unroll+sf": (5, False, True, True, "save_fused"),
+        "K3+unroll+sf+nopg": (3, False, False, True, "save_fused"),
+        "K3+sf": (3, False, True, False, "save_fused"),
+        "K3+sf+nopg": (3, False, False, False, "save_fused"),
     }
     sel = os.environ.get("ABLATE_CONFIGS")
     names = [s.strip() for s in sel.split(",")] if sel \
