@@ -85,6 +85,30 @@ def test_aggregate_edges_rejects_unknown():
                             aggregation="median")
 
 
+def test_aggregate_edges_weighted_matches_explicit_multiply(rng):
+    """ops.aggregate_edges_weighted == w-multiply + aggregate on both the
+    XLA path and (via the aligned pallas kernel's fallback branch at
+    unaligned shapes) the dispatch entry; the aligned-kernel oracle test
+    lives in test_pallas.py."""
+    n, e, d = 37, 100, 5
+    recv = np.sort(rng.integers(0, n, size=e)).astype(np.int32)
+    msgs = rng.standard_normal((e, d)).astype(np.float32)
+    w = rng.standard_normal(e).astype(np.float32)
+    out = ops.aggregate_edges_weighted(
+        jnp.asarray(msgs), jnp.asarray(w), jnp.asarray(recv), n)
+    expect = scatter_add(msgs * w[:, None], recv, n)
+    np.testing.assert_allclose(np.asarray(out), expect, rtol=1e-5,
+                               atol=1e-5)
+    with ops.use_backend("pallas"):
+        # unaligned shapes under the pallas backend take the sorted
+        # fallback inside the kernel wrapper — same numbers
+        out_p = ops.aggregate_edges_weighted(
+            jnp.asarray(msgs), jnp.asarray(w), jnp.asarray(recv), n,
+            aligned=True)
+    np.testing.assert_allclose(np.asarray(out_p), expect, rtol=1e-5,
+                               atol=1e-5)
+
+
 class TestGraphBatch:
     def test_build_and_masks(self, rng):
         from np_oracle import random_graph
