@@ -181,18 +181,21 @@ def save_acts_enabled() -> bool:
 
 
 def fwd_split() -> int:
-    """AERO_GNN_FWD_SPLIT=K (default 4): like bwd_split but for the fused
+    """AERO_GNN_FWD_SPLIT=K (default 8): like bwd_split but for the fused
     forward — the per-tile forward is a ~5-deep dependent matmul chain
     (gather, h0, hidden stack, out, aggregation). K interleaved row groups
     keep the MXU pipeline fed across the dependencies. Measured (65k
-    bench): K=4 66.5 -> 65.9 ms/step, K=2 neutral. Requires the premask
-    path; incompatible with save_acts (whose saved layout is per-tile)."""
+    bench): K=4 66.5 -> 65.9 ms/step, K=2 neutral; round-4 retune K=8
+    beats K=4 at 65k (60.53 vs 60.95 ms/step) AND 524k (869.8 vs 876.7)
+    — 128-row groups still fill the 8-sublane VPU/MXU tiles. Requires the
+    premask path; incompatible with save_acts (whose saved layout is
+    per-tile)."""
     import os
 
     try:
-        return int(os.environ.get("AERO_GNN_FWD_SPLIT", "4"))
+        return int(os.environ.get("AERO_GNN_FWD_SPLIT", "8"))
     except ValueError:
-        return 4
+        return 8
 
 
 def _make_kernel(n_hidden: int, activation: str, premask: bool,
