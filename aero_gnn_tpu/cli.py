@@ -200,12 +200,11 @@ def infer_main(args: argparse.Namespace) -> str:
 
 
 def main(argv: Optional[List[str]] = None) -> None:
-    # before any backend init: multi-chip halo overlap needs async
-    # all-to-all, which the TPU compiler disables by default (see
-    # parallel/xla_flags.py + OVERLAP_r3.json)
-    from aero_gnn_tpu.parallel.xla_flags import ensure_async_collectives
-    ensure_async_collectives()
-
+    # Multi-chip halo overlap needs async all-to-all, which the TPU
+    # compiler disables by default; the multi-chip step factories attach
+    # the options per-jit (parallel.xla_flags.async_jit_options) — an
+    # XLA_FLAGS env route was removed because clients whose XLA build
+    # lacks the TPU debug options FATAL at flag parse (CPU runs).
     parser = argparse.ArgumentParser(
         prog="aero_gnn_tpu",
         description="TPU-native mesh-GNN framework CLI")

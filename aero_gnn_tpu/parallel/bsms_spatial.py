@@ -53,6 +53,7 @@ from aero_gnn_tpu.parallel.spatial import (
     _spatial_layer,
     partition_graph,
 )
+from aero_gnn_tpu.parallel.xla_flags import async_jit_options
 
 
 @jax.tree_util.register_dataclass
@@ -304,7 +305,7 @@ def make_bsms_spatial_forward(model_cfg, mesh: Mesh, *,
             fwd = shard_map(per_shard, mesh=mesh,
                             in_specs=(P(), in_spec_for(bg)),
                             out_specs=P(axis), check_vma=False)
-            cache[key] = jax.jit(fwd)
+            cache[key] = jax.jit(fwd, compiler_options=async_jit_options(mesh))
         return cache[key](params, bg)
 
     return run
@@ -364,7 +365,8 @@ def make_bsms_spatial_train_step(model_cfg, optimizer, mesh: Mesh, *,
                              in_specs=(P(), P(), _bsms_in_spec(bg, axis)),
                              out_specs=(P(), P(), P()),
                              check_vma=False)
-            cache[key] = jax.jit(step, donate_argnums=(0, 1))
+            cache[key] = jax.jit(step, donate_argnums=(0, 1),
+                   compiler_options=async_jit_options(mesh))
         return cache[key](params, opt_state, bg)
 
     return run
@@ -863,7 +865,7 @@ def make_bsms_halo_forward(model_cfg, mesh: Mesh, *, axis: str = "graph"):
             fwd = shard_map(per_shard, mesh=mesh,
                             in_specs=(P(), _bsms_halo_in_spec(bg, axis)),
                             out_specs=P(axis), check_vma=False)
-            cache[key] = jax.jit(fwd)
+            cache[key] = jax.jit(fwd, compiler_options=async_jit_options(mesh))
         return cache[key](params, bg)
 
     return run
@@ -909,7 +911,8 @@ def make_bsms_halo_train_step(model_cfg, optimizer, mesh: Mesh, *,
                                        _bsms_halo_in_spec(bg, axis)),
                              out_specs=(P(), P(), P()),
                              check_vma=False)
-            cache[key] = jax.jit(step, donate_argnums=(0, 1))
+            cache[key] = jax.jit(step, donate_argnums=(0, 1),
+                   compiler_options=async_jit_options(mesh))
         return cache[key]
 
     def run(params, opt_state, bg):

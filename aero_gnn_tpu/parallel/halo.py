@@ -32,6 +32,7 @@ from aero_gnn_tpu.graph.padded import _round_up, sort_edges_by_receiver
 from aero_gnn_tpu.models.mgn import scan_layers
 from aero_gnn_tpu.nn import blocks as B
 from aero_gnn_tpu.nn import mlp as M
+from aero_gnn_tpu.parallel.xla_flags import async_jit_options
 from aero_gnn_tpu.parallel.spatial import _morton_order, sender_sort
 
 
@@ -656,7 +657,7 @@ def make_halo_split_forward(model_cfg, mesh: Mesh, *, axis: str = "graph"):
     fwd = shard_map(per_shard, mesh=mesh,
                     in_specs=(P(), P(axis)), out_specs=P(axis),
                     check_vma=False)
-    return jax.jit(fwd)
+    return jax.jit(fwd, compiler_options=async_jit_options(mesh))
 
 
 def make_halo_split_train_step(model_cfg, optimizer, mesh: Mesh,
@@ -687,7 +688,8 @@ def make_halo_split_train_step(model_cfg, optimizer, mesh: Mesh,
                      in_specs=(P(), P(), P(axis)),
                      out_specs=(P(), P(), P()),
                      check_vma=False)
-    return jax.jit(step, donate_argnums=(0, 1))
+    return jax.jit(step, donate_argnums=(0, 1),
+                   compiler_options=async_jit_options(mesh))
 
 
 def make_halo_forward(model_cfg, mesh: Mesh, *, axis: str = "graph"):
@@ -698,7 +700,7 @@ def make_halo_forward(model_cfg, mesh: Mesh, *, axis: str = "graph"):
     fwd = shard_map(per_shard, mesh=mesh,
                     in_specs=(P(), P(axis)), out_specs=P(axis),
                     check_vma=False)
-    return jax.jit(fwd)
+    return jax.jit(fwd, compiler_options=async_jit_options(mesh))
 
 
 def make_halo_train_step(model_cfg, optimizer, mesh: Mesh,
@@ -727,4 +729,5 @@ def make_halo_train_step(model_cfg, optimizer, mesh: Mesh,
                      in_specs=(P(), P(), P(axis)),
                      out_specs=(P(), P(), P()),
                      check_vma=False)
-    return jax.jit(step, donate_argnums=(0, 1))
+    return jax.jit(step, donate_argnums=(0, 1),
+                   compiler_options=async_jit_options(mesh))

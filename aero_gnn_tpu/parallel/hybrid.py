@@ -22,6 +22,7 @@ from aero_gnn_tpu.parallel.halo import (
     halo_split_mgn_forward,
 )
 from aero_gnn_tpu.parallel.spatial import SpatialGraph, spatial_mgn_forward
+from aero_gnn_tpu.parallel.xla_flags import async_jit_options
 
 
 def stack_spatial(graphs) -> SpatialGraph:
@@ -59,7 +60,8 @@ def make_hybrid_train_step(model_cfg, optimizer, mesh: Mesh) -> Callable:
                      in_specs=(P(), P(), P("data", "graph")),
                      out_specs=(P(), P(), P()),
                      check_vma=False)
-    return jax.jit(step, donate_argnums=(0, 1))
+    return jax.jit(step, donate_argnums=(0, 1),
+                   compiler_options=async_jit_options(mesh))
 
 
 def make_hybrid_halo_split_train_step(model_cfg, optimizer,
@@ -91,4 +93,5 @@ def make_hybrid_halo_split_train_step(model_cfg, optimizer,
                      in_specs=(P(), P(), P("data", "graph")),
                      out_specs=(P(), P(), P()),
                      check_vma=False)
-    return jax.jit(step, donate_argnums=(0, 1))
+    return jax.jit(step, donate_argnums=(0, 1),
+                   compiler_options=async_jit_options(mesh))

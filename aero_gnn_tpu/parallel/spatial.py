@@ -33,6 +33,7 @@ from aero_gnn_tpu.graph.order import morton_order
 from aero_gnn_tpu.graph.padded import sort_edges_by_receiver, _round_up
 from aero_gnn_tpu.nn import blocks as B
 from aero_gnn_tpu.nn import mlp as M
+from aero_gnn_tpu.parallel.xla_flags import async_jit_options
 
 
 @jax.tree_util.register_dataclass
@@ -396,7 +397,7 @@ def make_spatial_forward(model_cfg, mesh: Mesh, *, axis: str = "graph"):
     fwd = shard_map(per_shard, mesh=mesh,
                     in_specs=(P(), specs), out_specs=specs,
                     check_vma=False)
-    return jax.jit(fwd)
+    return jax.jit(fwd, compiler_options=async_jit_options(mesh))
 
 
 def make_spatial_train_step(model_cfg, optimizer, mesh: Mesh,
@@ -434,4 +435,5 @@ def make_spatial_train_step(model_cfg, optimizer, mesh: Mesh,
                      in_specs=(P(), P(), P(axis)),
                      out_specs=(P(), P(), P()),
                      check_vma=False)
-    return jax.jit(step, donate_argnums=(0, 1))
+    return jax.jit(step, donate_argnums=(0, 1),
+                   compiler_options=async_jit_options(mesh))

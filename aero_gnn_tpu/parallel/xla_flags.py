@@ -1,4 +1,4 @@
-"""XLA flag management for multi-chip runs.
+"""Async-collective compile options for multi-chip runs.
 
 The TPU compiler ships with async all-to-all DISABLED: the overlapped
 halo-split design (parallel.halo, SURVEY.md long-context analogue) relies
@@ -10,11 +10,17 @@ production compiler via AOT compilation against a v5e:2x4 topology
 scheduler plus async all-to-all turns them into
 async_collective_name="all-to-all-start" ops whose first consumer (the
 wait) is scheduled after the interior Mosaic kernels — see
-OVERLAP_r3.json for the recorded schedule evidence.
+OVERLAP_r3.json / MULTICHIP_AOT_r4.json for recorded schedules.
 
-Call :func:`ensure_async_collectives` BEFORE the first JAX backend
-initialization (the CLI does this at startup); for AOT compiles pass
-:data:`ASYNC_COLLECTIVE_OPTIONS` as ``compiler_options``.
+Delivery mechanism: PER-JIT ``compiler_options`` (jax.jit accepts them
+directly), attached by every multi-chip step factory via
+:func:`async_jit_options` when the target mesh is TPU. The earlier
+XLA_FLAGS env route is gone — these are TPU debug options, and any
+client whose XLA build lacks them (CPU jaxlib, and even the axon relay
+client here) FATALS at parse_flags_from_env with "Unknown flags", so a
+fresh-process CPU run of the CLI crashed outright (round-4 find).
+For AOT compiles pass :data:`ASYNC_COLLECTIVE_OPTIONS` to
+``lowered.compile(compiler_options=...)``.
 """
 
 from __future__ import annotations
@@ -27,20 +33,17 @@ ASYNC_COLLECTIVE_OPTIONS = {
 }
 
 
-def ensure_async_collectives(env=None) -> str:
-    """Append the async-collective flags to XLA_FLAGS (idempotent).
-
-    Returns the resulting XLA_FLAGS value. Flags already mentioned in the
-    variable (either polarity) are left untouched so callers can override.
-    No-op after backend init — set it early (CLI entry, job launcher).
-    """
-    if env is None:
-        env = os.environ
-    cur = env.get("XLA_FLAGS", "")
-    parts = [cur] if cur else []
-    for k, v in ASYNC_COLLECTIVE_OPTIONS.items():
-        if k not in cur:
-            parts.append(f"--{k}={v}")
-    out = " ".join(parts)
-    env["XLA_FLAGS"] = out
-    return out
+def async_jit_options(mesh):
+    """``compiler_options`` for a multi-chip step jit: the async-collective
+    TPU options when ``mesh``'s devices are TPUs, else None (the options
+    are TPU debug options — a CPU compile rejects them). Disable with
+    AERO_GNN_ASYNC_COLLECTIVES=0."""
+    if os.environ.get("AERO_GNN_ASYNC_COLLECTIVES", "1") != "1":
+        return None
+    try:
+        dev = next(iter(mesh.devices.flat))
+    except (AttributeError, StopIteration, TypeError):
+        return None
+    if getattr(dev, "platform", "") == "tpu":
+        return dict(ASYNC_COLLECTIVE_OPTIONS)
+    return None

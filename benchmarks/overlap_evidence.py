@@ -136,7 +136,7 @@ def main():
     # Async collectives are OFF by default on this compiler: the plain
     # compile emits BLOCKING all-to-alls (measured — see BASELINE.md). Both
     # flags below are required for overlap and must be set in production
-    # runs (parallel.xla_flags.ensure_async_collectives).
+    # runs (parallel.xla_flags.async_jit_options attaches them per-jit).
     opts = {"xla_tpu_enable_latency_hiding_scheduler": "true",
             "xla_tpu_enable_async_all_to_all": "true"}
     log("lowered; compiling for the TPU topology with "
