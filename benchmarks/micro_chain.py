@@ -23,7 +23,6 @@ Usage: python benchmarks/micro_chain.py (TPU, ~3-5 min). Interleaved
 in-process A/B, chained-scan timing per bench.py.
 """
 
-import functools
 import os
 import sys
 
