@@ -14,7 +14,11 @@ on/off (the new AERO_GNN_PG_MAX_EDGES ceiling), remat-group K, donation,
 and XLA's memory-fitting effort knobs (jax_memory_fitting_level/effort).
 
 Usage: python benchmarks/fit_1m.py [nodes] (default 1048576).
-Writes stderr table; exits 0 if any variant fits.
+FIT_VARIANTS selects configs as +-joined tokens: K<g> (remat_group),
+unroll (Python-unrolled groups), sf (save_fused inner policy), off
+(remat_offload), L<level>/E<effort> (XLA memory-fitting knobs) — e.g.
+FIT_VARIANTS="K3+unroll+sf,K5+off". FIT_FULL_ERR=1 dumps whole compile
+errors. Writes stderr table; exits 0 if any variant fits.
 """
 
 import os
