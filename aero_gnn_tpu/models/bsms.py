@@ -42,7 +42,12 @@ def _wec_weight(w: jax.Array, dt) -> jax.Array:
     AERO_GNN_WEC_DTYPE=compute casts them to the compute dtype first so
     the [E, h] stream multiply stays bf16 (half the HBM bytes) — a perf
     mode measured in benchmarks/ablate_wec.py; only changes numerics on
-    bf16 runs."""
+    bf16 runs. NOTE: this contract governs the separate-multiply path
+    only — the fused path (AERO_GNN_WEC_FUSED, default on, Pallas
+    aligned streams) folds the weight into the aggregation kernel's
+    one-hot select, where it participates at the compute dtype
+    regardless of AERO_GNN_WEC_DTYPE (the select constant takes
+    messages.dtype; accumulation stays f32 via the MXU)."""
     import os
 
     if os.environ.get("AERO_GNN_WEC_DTYPE") == "compute":

@@ -105,6 +105,7 @@ def aggregate_edges_weighted(
     num_nodes: int,
     *,
     aligned: bool = False,
+    mask: jax.Array = None,
 ) -> jax.Array:
     """out[n] = sum_{e: recv(e)=n} weights[e] * messages[e].
 
@@ -113,13 +114,18 @@ def aggregate_edges_weighted(
     weighted [E, h] stream never materializes in HBM (the WeightedEdgeConv
     hot path, models/bsms.py). Elsewhere: explicit multiply + sorted
     segment sum. Weights participate at ``messages.dtype`` precision on
-    the fused path; zero-weight pad edges need no separate mask."""
+    the fused path and are DIFFERENTIABLE on both paths (the Pallas
+    custom VJP returns the same d_w = <ct[recv], msgs> the fallback's
+    autodiff produces). Pad edges: pass ``mask``, or guarantee their
+    weights are zero (the WEC hierarchy path does the latter)."""
     if _BACKEND == "pallas" and aligned:
         from aero_gnn_tpu.ops.pallas_segment import (
             segment_agg_weighted_pallas)
 
         return segment_agg_weighted_pallas(messages, weights, receivers,
-                                           num_nodes)
+                                           num_nodes, mask=mask)
+    m = messages if mask is None else messages * mask[:, None].astype(
+        messages.dtype)
     return segment_sum_sorted(
-        messages * weights[:, None].astype(messages.dtype),
+        m * weights[:, None].astype(messages.dtype),
         receivers, num_nodes)

@@ -251,40 +251,56 @@ def _sswp_fwd(messages, weights, receivers, mask, tile_block, tile_first,
               num_nodes):
     out = _segment_sum_weighted_fwd(messages, weights, receivers, mask,
                                     tile_block, tile_first, num_nodes)
-    return out, (weights, receivers, mask)
+    return out, (messages, weights, receivers, mask)
 
 
 def _sswp_bwd(num_nodes, res, ct):
-    weights, receivers, mask = res
-    d_msgs = ct.at[receivers].get(mode="promise_in_bounds",
-                                  indices_are_sorted=True)
-    d_msgs = (d_msgs * weights[:, None].astype(jnp.float32)
-              * mask[:, None]).astype(d_msgs.dtype)
-    # weights are hierarchy constants (None = symbolic zero, repo
-    # custom_vjp convention)
-    return d_msgs, None, None, None, None, None
+    messages, weights, receivers, mask = res
+    ctg = ct.at[receivers].get(mode="promise_in_bounds",
+                               indices_are_sorted=True)
+    d_msgs = (ctg * weights[:, None].astype(jnp.float32)
+              * mask[:, None]).astype(ctg.dtype)
+    # weight cotangent so the Pallas path's grads agree with the XLA
+    # fallback (multiply + segment sum): d_w[e] = <ct[recv[e]], msgs[e]>.
+    # The WEC hot path (models/bsms.py) wraps this op in its own
+    # zero-weight-tangent custom_vjp, so saving `messages` here adds no
+    # residual to that path.
+    d_w = (jnp.sum(ctg.astype(jnp.float32)
+                   * messages.astype(jnp.float32), axis=1)
+           * mask).astype(weights.dtype)
+    return d_msgs, d_w, None, None, None, None
 
 
 _segment_sum_weighted_pallas.defvjp(_sswp_fwd, _sswp_bwd)
 
 
 def segment_agg_weighted_pallas(messages: jax.Array, weights: jax.Array,
-                                receivers: jax.Array,
-                                num_nodes: int) -> jax.Array:
+                                receivers: jax.Array, num_nodes: int,
+                                mask: jax.Array = None) -> jax.Array:
     """out[n] = sum_{e: recv(e)=n} weights[e] * messages[e], weight folded
     into the one-hot select (see _agg_kernel_premask_weighted). REQUIRES
     the block-aligned layout + premask mode; falls back to the sorted XLA
     path otherwise. Weights participate at ``messages.dtype`` precision
-    inside the kernel (the WEC_DTYPE=compute semantics)."""
+    inside the kernel (the WEC_DTYPE=compute semantics) and are
+    differentiable on both paths (see _sswp_bwd). Pad edges: pass
+    ``mask`` (folded into the premasked receiver stream like the
+    unweighted path), or guarantee zero pad-edge weights — with neither,
+    pad-edge contributions land on their receiver row (the last pad
+    node)."""
     if (messages.shape[0] % ET != 0 or num_nodes % NB != 0
             or not onehot_premask_enabled()):
         from aero_gnn_tpu.ops import scatter as S
 
+        m = messages if mask is None else messages * mask[:, None].astype(
+            messages.dtype)
         return S.segment_sum_sorted(
-            messages * weights[:, None].astype(messages.dtype),
+            m * weights[:, None].astype(messages.dtype),
             receivers, num_nodes)
     tile_block, tile_first = derive_tiles(receivers)
-    mask = jnp.ones(messages.shape[0], dtype=jnp.float32)
+    if mask is None:
+        mask = jnp.ones(messages.shape[0], dtype=jnp.float32)
+    else:
+        mask = mask.astype(jnp.float32)
     return _segment_sum_weighted_pallas(messages, weights, receivers, mask,
                                         tile_block, tile_first, num_nodes)
 

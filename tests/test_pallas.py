@@ -80,6 +80,26 @@ def test_pallas_segment_sum_weighted_matches_oracle(aligned_graph):
         fd = (f_ref(mp) - f_ref(mm)) / (2 * eps)
         npt.assert_allclose(np.asarray(gr)[i, j], fd, rtol=1e-2, atol=1e-3)
 
+    # weight gradients agree with the XLA fallback's autodiff (ADVICE r4:
+    # the Pallas VJP must not silently return zero for d_w)
+    from aero_gnn_tpu.ops import scatter as S
+
+    def g_pallas(wv):
+        return jnp.sum(segment_agg_weighted_pallas(
+            gb.edge_attr, wv, gb.receivers, gb.num_nodes_pad) ** 2)
+
+    def g_xla(wv):
+        s = S.segment_sum_sorted(
+            gb.edge_attr * wv[:, None].astype(gb.edge_attr.dtype),
+            gb.receivers, gb.num_nodes_pad)
+        return jnp.sum(s ** 2)
+
+    with pltpu.force_tpu_interpret_mode():
+        dw_p = jax.grad(g_pallas)(jnp.asarray(w))
+    dw_x = jax.grad(g_xla)(jnp.asarray(w))
+    npt.assert_allclose(np.asarray(dw_p), np.asarray(dw_x),
+                        rtol=1e-3, atol=1e-3)
+
 
 def test_pallas_segment_mean_matches_oracle(aligned_graph):
     g, gb = aligned_graph
@@ -455,6 +475,32 @@ def test_bsms_aligned_loader_matches_plain_and_pallas():
     with pltpu.force_tpu_interpret_mode():
         out_pallas = run(aligned, "pallas")
     np.testing.assert_allclose(out_pallas, ref, rtol=3e-4, atol=3e-4)
+
+    # flagship transfer="weighted" end-to-end under the pallas backend:
+    # exercises the fused WEC dispatch (ops.aggregate_edges_weighted, A
+    # and the sender-sorted A^T stream) through the aligned loader, not
+    # just the kernel-level oracle (ADVICE r4).
+    import dataclasses as _dc
+    cfg_w = _dc.replace(cfg, transfer="weighted",
+                        hierarchy_mode="bistride")
+    plain_b = Loader(samples, batch_size=2, num_scales=2,
+                     hierarchy_mode="bistride", align_edges=False)
+    aligned_b = Loader(samples, batch_size=2, num_scales=2,
+                       hierarchy_mode="bistride", align_edges=True)
+
+    def run_w(loader, backend):
+        outs = []
+        with ops.use_backend(backend):
+            for gb, aux in loader:
+                out = cfg_w.apply(params, gb, hierarchy=aux["hierarchy"])
+                outs.append(np.asarray(out)[:int(gb.n_node)])
+        return np.concatenate(outs)
+
+    ref_w = run_w(plain_b, "xla")
+    assert np.abs(ref_w - ref).max() > 1e-6  # weighted != mean
+    with pltpu.force_tpu_interpret_mode():
+        out_w = run_w(aligned_b, "pallas")
+    np.testing.assert_allclose(out_w, ref_w, rtol=3e-4, atol=3e-4)
 
 
 class TestFusedNodeLayer:
