@@ -292,20 +292,40 @@ def build_banded_gather_plan(indices: np.ndarray, valid: np.ndarray,
         window=int(window))
 
 
+def _pg_chunks_unrolled() -> bool:
+    """AERO_GNN_PG_UNROLL (default on): execute the banded gathers' chunk
+    loop as unrolled slices + one concatenate instead of a lax.scan. The
+    scan's stacked [K, C, h] output lowers to an AllocateBuffer arena that
+    XLA's buffer assignment cannot share or free early — with 15 unrolled
+    layers each running windowed gathers, those arenas were the ~7 GB that
+    kept the plans from fitting beside grouped remat at 786k
+    (BASELINE.md "786k knee"); unrolled chunks write straight into the
+    one [E, h] result buffer."""
+    import os
+
+    return os.environ.get("AERO_GNN_PG_UNROLL", "1") == "1"
+
+
 def banded_gather(table: jax.Array, plan: BandedGatherPlan) -> jax.Array:
     """``table[indices]`` via windowed chunk gathers + outlier patches."""
     k_chunks, chunk = plan.idx.shape
     h = table.shape[1]
 
-    def body(carry, ins):
-        lo_k, idx_k, pos_k, src_k = ins
+    def one(lo_k, idx_k, pos_k, src_k):
         win = jax.lax.dynamic_slice(table, (lo_k, jnp.zeros_like(lo_k)),
                                     (plan.window, h))
         rows = win.at[idx_k].get(mode="promise_in_bounds")
         fix = table.at[src_k].get(mode="promise_in_bounds")
-        rows = rows.at[pos_k].set(fix, mode="drop",
+        return rows.at[pos_k].set(fix, mode="drop",
                                   indices_are_sorted=True)
-        return carry, rows
+
+    if _pg_chunks_unrolled():
+        return jnp.concatenate(
+            [one(plan.lo[k], plan.idx[k], plan.out_pos[k], plan.out_src[k])
+             for k in range(k_chunks)], axis=0)
+
+    def body(carry, ins):
+        return carry, one(*ins)
 
     _, out = jax.lax.scan(
         body, 0, (plan.lo, plan.idx, plan.out_pos, plan.out_src))
@@ -330,12 +350,19 @@ def banded_perm_gather(ct: jax.Array, plan: PermGatherPlan) -> jax.Array:
     k_chunks, chunk = plan.idx.shape
     h = ct.shape[1]
 
-    def body(carry, ins):
-        lo_k, idx_k, m_k = ins
+    def one(lo_k, idx_k, m_k):
         win = jax.lax.dynamic_slice(ct, (lo_k, jnp.zeros_like(lo_k)),
                                     (plan.window, h))
         rows = win.at[idx_k].get(mode="promise_in_bounds")
-        return carry, rows * m_k[:, None].astype(rows.dtype)
+        return rows * m_k[:, None].astype(rows.dtype)
+
+    if _pg_chunks_unrolled():
+        return jnp.concatenate(
+            [one(plan.lo[k], plan.idx[k], plan.mask[k])
+             for k in range(k_chunks)], axis=0)
+
+    def body(carry, ins):
+        return carry, one(*ins)
 
     _, out = jax.lax.scan(body, 0, (plan.lo, plan.idx, plan.mask))
     return out.reshape(k_chunks * chunk, h)

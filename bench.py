@@ -47,10 +47,12 @@ def log(msg):
 
 
 # Naive-port baseline ms/step, measured on this hardware (TPU v5 lite) with
-# BENCH_BASELINE=fresh: rounds 1/2/3 all measured 367 ms at 65k nodes
-# (BASELINE.md table; BENCH_r02.json tail). Only sizes actually measured are
-# listed; other sizes report vs_baseline=null unless BENCH_BASELINE=fresh.
-STORED_BASELINE_S = {65536: 0.36719}
+# BENCH_BASELINE=fresh: rounds 1/2/3 measured 367.19 ms at 65k nodes; the
+# round-5 INTERLEAVED re-measurement (same process as the optimized config,
+# the CLAUDE.md drift-control method) got 366.69 ms — drift on this program
+# is ~0.1%, the stored denominator is honest. Only sizes actually measured
+# are listed; other sizes report vs_baseline=null unless BENCH_BASELINE=fresh.
+STORED_BASELINE_S = {65536: 0.36669}
 
 
 def get_mesh(n_nodes, avg_degree=6, seed=0):
@@ -133,12 +135,14 @@ def main():
     np_pad = -(-(n_nodes + 1) // 512) * 512
 
     # Baseline policy: "stored" uses the recorded same-hardware naive-port
-    # measurement (fast, robust); "fresh" re-measures it in this run;
-    # "skip" reports vs_baseline=null. BENCH_SKIP_BASELINE=1 kept for
-    # backwards compatibility with recorded command lines.
+    # measurement (fast, robust); "fresh" re-measures it in this run,
+    # INTERLEAVED with the optimized config in one process (the CLAUDE.md
+    # drift-control method); "skip" reports vs_baseline=null.
+    # BENCH_SKIP_BASELINE=1 maps to skip/null, preserving the semantics of
+    # recorded round-1..3 command lines (ADVICE r4).
     base_mode = os.environ.get("BENCH_BASELINE", "stored")
     if os.environ.get("BENCH_SKIP_BASELINE"):
-        base_mode = "stored" if n_nodes in STORED_BASELINE_S else "skip"
+        base_mode = "skip"
 
     # the optimized path gets the block-aligned layout the Pallas kernel
     # needs (exact padding, no bucket growth); the baseline, when measured
@@ -251,9 +255,8 @@ def main():
     with ops.use_backend(backend):
         p1, o1, step1, fwd1 = build(do_concat_trick=True,
                                     compute_dtype=dtype)
-        t_opt = time_scan_fn(step1, (p1, o1, graph), rtt, iters=ITERS)
-    log(f"optimized (concat-trick, {backend}, {dtype}): "
-        f"{t_opt*1e3:.2f} ms/step -> {n_edges/t_opt:,.0f} edges/s (train)")
+        if base_mode != "fresh":
+            t_opt = time_scan_fn(step1, (p1, o1, graph), rtt, iters=ITERS)
 
     t_base = None
     if base_mode == "stored":
@@ -264,19 +267,40 @@ def main():
         else:
             log(f"no stored baseline for {n_nodes} nodes; vs_baseline=null")
     elif base_mode == "fresh":
+        # Same-process INTERLEAVED A/B (chip-state drift makes sequential
+        # cross-measurement ratios unreliable — CLAUDE.md perf method):
+        # compile+warm both programs, then alternate timed calls and take
+        # each side's best.
         graph_base = padded.build_graph_batch(**mesh, num_nodes_pad=np_pad)
+        float(graph_base.edge_mask[0])
         with ops.use_backend("xla"):
             # the naive baseline keeps per-layer remat: its [E,3h] concat
             # activations blow HBM without it
             p0, o0, step0, _ = build(do_concat_trick=False, remat=True,
                                      unroll=False, remat_group=0,
                                      remat_offload=False)
-            t_base = time_scan_fn(step0, (p0, o0, graph_base), rtt,
-                                  iters=ITERS)
-        log(f"baseline (full-concat EdgeBlock, XLA, fresh): "
+            float(step0(p0, o0, graph_base))  # compile + warm
+        with ops.use_backend(backend):
+            float(step1(p1, o1, graph))  # compile + warm
+
+        def timed(fn, args):
+            t0 = time.perf_counter()
+            float(fn(*args))
+            return max(time.perf_counter() - t0 - rtt, 1e-9) / ITERS
+
+        best_o = best_b = float("inf")
+        for rep in range(3):
+            best_o = min(best_o, timed(step1, (p1, o1, graph)))
+            best_b = min(best_b, timed(step0, (p0, o0, graph_base)))
+            log(f"interleaved rep {rep}: opt best {best_o*1e3:.2f} ms, "
+                f"baseline best {best_b*1e3:.2f} ms")
+        t_opt, t_base = best_o, best_b
+        log(f"baseline (full-concat EdgeBlock, XLA, fresh interleaved): "
             f"{t_base*1e3:.2f} ms/step -> {n_edges/t_base:,.0f} edges/s")
     else:
         log("baseline skipped")
+    log(f"optimized (concat-trick, {backend}, {dtype}): "
+        f"{t_opt*1e3:.2f} ms/step -> {n_edges/t_opt:,.0f} edges/s (train)")
 
     # THE deliverable. Printed before the (optional) inference measurement
     # so a late tunnel wedge cannot cost the round its number.
@@ -285,6 +309,7 @@ def main():
         "value": round(n_edges / t_opt, 1),
         "unit": "edges/s",
         "vs_baseline": round(t_base / t_opt, 4) if t_base else None,
+        "baseline": base_mode if t_base else None,
     }), flush=True)
 
     if os.environ.get("BENCH_SKIP_INFERENCE"):

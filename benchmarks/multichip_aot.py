@@ -19,8 +19,15 @@ device code runs):
 plus exact per-shard comm volumes from the partition artifacts (the
 SCALING model's inputs, at the claimed scale this time).
 
-Writes MULTICHIP_AOT_r4.json. Usage: python benchmarks/multichip_aot.py
-[nodes] (default 1048576; ~10-20 min of host-side partition + compile).
+Round 5 (VERDICT r4 missing #2): the same programs at 2M and 4M nodes —
+the scales BASELINE.md actually routes to the multi-chip path — and on
+wider topologies (AOT_TOPO=v5e:4x4 for P=16). Remat policy follows the
+measured single-chip envelope per shard (AOT_REMAT=auto): off at
+<=262k nodes/shard, per-layer remat above it.
+
+Writes $AOT_OUT (default MULTICHIP_AOT_r4.json). Usage:
+python benchmarks/multichip_aot.py [nodes] (default 1048576;
+~10-20 min of host-side partition + compile per program).
 """
 
 import json
@@ -67,7 +74,15 @@ def main():
 
     m = get_mesh(n_nodes)
     n_edges = len(m["senders"])
-    log(f"mesh: {n_nodes} nodes / {n_edges} edges, {n_dev} shards")
+    per_shard = n_nodes // n_dev
+    # remat per the measured single-chip envelope (BASELINE.md large-mesh
+    # table): activations fit HBM remat-free up to ~262k nodes; above it
+    # per-layer remat (the halo paths' supported mode)
+    remat_env = os.environ.get("AOT_REMAT", "auto")
+    use_remat = (per_shard > 262144) if remat_env == "auto" \
+        else remat_env == "1"
+    log(f"mesh: {n_nodes} nodes / {n_edges} edges, {n_dev} shards "
+        f"({per_shard} nodes/shard, remat={use_remat})")
 
     repl = NamedSharding(mesh, P())
 
@@ -155,9 +170,7 @@ def main():
             num_hidden_layers_decoder=2,
             aggregation="add", do_concat_trick=True,
             compute_dtype="bfloat16",
-            # per-shard sizes sit in the measured single-chip envelope
-            # (~131k nodes at 1M/8) where remat is pure overhead
-            remat=False, unroll=True)
+            remat=use_remat, unroll=not use_remat)
         params = cfg.init(jax.random.PRNGKey(0))
         opt_state = optimizer.init(params)
         t0 = time.time()
@@ -182,7 +195,7 @@ def main():
             "halo_mgn_15x128", step,
             (blanket(params, P()), blanket(opt_state, P()),
              blanket(sg, P("graph"))),
-            save_hlo="/tmp/halo_mgn_1m_sched.hlo")
+            save_hlo=f"/tmp/halo_mgn_{n_nodes}_sched.hlo")
         results["programs"].append(rec)
         del sg
 
@@ -194,7 +207,7 @@ def main():
             hidden_dim_node_encoder=128, hidden_dim_edge_encoder=128,
             hidden_dim_decoder=128, aggregation="add", do_concat_trick=True,
             num_scales=3, hierarchy_mode="bistride", transfer="weighted",
-            compute_dtype="bfloat16", remat=False, unroll=True)
+            compute_dtype="bfloat16", remat=use_remat, unroll=not use_remat)
         bh_params = bh_cfg.init(jax.random.PRNGKey(1))
         bh_opt = optimizer.init(bh_params)
         t0 = time.time()
@@ -223,11 +236,12 @@ def main():
             "bsms_halo_wec_15x128", bh_step,
             (blanket(bh_params, P()), blanket(bh_opt, P()),
              sds(bhg, spec_tree)),
-            save_hlo="/tmp/bsms_halo_1m_sched.hlo")
+            save_hlo=f"/tmp/bsms_halo_{n_nodes}_sched.hlo")
         results["programs"].append(rec)
 
     out = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "MULTICHIP_AOT_r4.json")
+        os.path.abspath(__file__))),
+        os.environ.get("AOT_OUT", "MULTICHIP_AOT_r4.json"))
     with open(out, "w") as f:
         json.dump(results, f, indent=1)
     log(f"wrote {out}")
