@@ -58,12 +58,21 @@ def main() -> None:
                         help="measured single-chip train edges/s "
                         "(default: round-2 headline 3.98e6)")
     parser.add_argument("--out", default="SCALING_r3.json")
+    parser.add_argument("--p-list", default="1,2,4,8",
+                        help="comma-separated shard counts (r5: 16/32 "
+                        "extend the story past P=8)")
+    parser.add_argument("--large-nodes", type=int, default=2097152,
+                        help="mesh size for the large-mesh model rows "
+                        "(the >=2M multi-chip regime; 0 disables)")
+    parser.add_argument("--large-p", default="8,16,32")
     args = parser.parse_args()
+
+    p_list = [int(x) for x in args.p_list.split(",") if x]
 
     import jax
     try:
         jax.config.update("jax_platforms", "cpu")
-        jax.config.update("jax_num_cpu_devices", 8)
+        jax.config.update("jax_num_cpu_devices", max(p_list + [8]))
     except Exception:  # noqa: BLE001 — backend already up
         pass
     import numpy as np
@@ -154,7 +163,7 @@ def main() -> None:
     }
 
     # ---------------- strong scaling ----------------
-    for p in [1, 2, 4, 8]:
+    for p in p_list:
         if p > n_dev:
             continue
         optimizer = make_optimizer(1e-3)
@@ -358,7 +367,7 @@ def main() -> None:
             for k, v in entries.items()))
 
     # ---------------- weak scaling (fixed per-shard size) ----------------
-    for p in [1, 2, 4, 8]:
+    for p in p_list:
         if p > n_dev:
             continue
         ws = make_random_mesh_sample(n_nodes=args.weak_nodes * p, seed=1)
@@ -403,6 +412,105 @@ def main() -> None:
                 "predicted_efficiency": round(t_ref / t_step, 4)}}
         log(f"weak P={p}: eff="
             f"{out['weak']['strategies'][str(p)]['model']['predicted_efficiency']:.3f}")
+
+    # ------- large-mesh model rows (the >=2M multi-chip regime) -------
+    # Partition artifacts are REAL (host partitioner at the full scale);
+    # efficiency is the ICI roofline model — no 2M functional run fits a
+    # 2-core host. chip_rate at these per-shard sizes is the measured
+    # single-chip rate for the matching mesh band (BASELINE.md table).
+    if args.large_nodes:
+        from bench import get_mesh
+        from aero_gnn_tpu.models.bsms import BSMSConfig  # noqa: F811
+        from aero_gnn_tpu.parallel import bsms_spatial as BS  # noqa: F811
+
+        lm = get_mesh(args.large_nodes)
+        le = len(lm["senders"])
+        out["large"] = {"nodes": args.large_nodes, "edges": int(le),
+                        "strategies": {}}
+        lps = 2
+        layer_counts = [2 * lps, 2 * lps, max(1, L - 4 * lps)]
+        # single-chip rate for the per-shard mesh size band: 3.44M edges/s
+        # at 262k (BASELINE.md) — conservative for the smaller shards at
+        # higher P, which run in the faster small-mesh regime
+        banded_rate = {262144: 3.44e6, 131072: 3.7e6, 65536: 3.98e6}
+        for p in [int(x) for x in args.large_p.split(",") if x]:
+            per_shard = args.large_nodes // p
+            rate = banded_rate.get(per_shard, chip_rate)
+            sgs = HL.partition_graph_halo_split(
+                senders=lm["senders"], receivers=lm["receivers"],
+                x=lm["x"], edge_attr=lm["edge_attr"], pos=lm["pos"],
+                y=lm["y"], num_parts=p)
+            Ei = sgs.edge_attr_int.shape[1]
+            Eb = sgs.edge_attr_bnd.shape[1]
+            interior_frac = Ei / (Ei + Eb)
+            Hs = sgs.halo_size
+            halo_bytes = (p - 1) * Hs * h * bytes_act
+            t_comp = (le / p) / rate
+            t_int = t_comp * interior_frac
+            t_comm = L * halo_bytes / ici_bps
+            t_step = max(t_int, t_comm) + t_comp * (1 - interior_frac) \
+                + grad_allreduce_bytes(p) / ici_bps
+            t_single = le / rate
+            ent = {"halo_split": {
+                "halo_rows_padded": int(Hs),
+                "comm_bytes_per_layer": int(halo_bytes),
+                "chip_rate_edges_per_s": rate,
+                "model": {
+                    "t_compute_ms": round(t_comp * 1e3, 3),
+                    "t_comm_ms": round(
+                        (t_comm + grad_allreduce_bytes(p) / ici_bps)
+                        * 1e3, 3),
+                    "predicted_ms": round(t_step * 1e3, 3),
+                    "predicted_efficiency": round(
+                        t_single / (p * t_step), 4)}}}
+            del sgs
+            bg = BS.partition_bsms_halo(
+                senders=np.asarray(lm["senders"], np.int64),
+                receivers=np.asarray(lm["receivers"], np.int64),
+                x=lm["x"], edge_attr=lm["edge_attr"], pos=lm["pos"],
+                y=lm["y"], num_parts=p, num_scales=3, mode="bistride")
+            e_levels = [lv.e_real for lv in bg.levels]
+            w_tot = sum(e * c for e, c in zip(e_levels, layer_counts))
+            t_chip = le / rate * w_tot / (le * L)
+            t_comp = t_chip / p
+            halo_bytes_lv = [(p - 1) * lv.graph.halo_size * h * bytes_act
+                             for lv in bg.levels]
+            t_comm_halo = sum(c * b for c, b in zip(
+                layer_counts, halo_bytes_lv)) / ici_bps
+            transfer_bytes = sum(
+                (lv.plan.node_recv_rows.shape[0]
+                 * lv.plan.node_recv_rows.shape[2] * h
+                 + lv.plan.edge_recv_rows.shape[0]
+                 * lv.plan.edge_recv_rows.shape[2] * (h + 1)
+                 + lv.plan.up_send_rows.shape[0]
+                 * lv.plan.up_send_rows.shape[2] * h) * bytes_act
+                for lv in bg.levels if lv.plan is not None)
+            Ei_b = bg.fine.edge_attr_int.shape[1]
+            Eb_b = bg.fine.edge_attr_bnd.shape[1]
+            interior_frac = Ei_b / (Ei_b + Eb_b)
+            t_int = t_comp * interior_frac
+            t_step = (max(t_int, t_comm_halo)
+                      + t_comp * (1 - interior_frac)
+                      + transfer_bytes / ici_bps
+                      + grad_allreduce_bytes(p) / ici_bps)
+            ent["bsms_halo"] = {
+                "halo_rows_padded_per_level":
+                    [int(lv.graph.halo_size) for lv in bg.levels],
+                "transfer_comm_bytes": int(transfer_bytes),
+                "chip_rate_edges_per_s": rate,
+                "model": {
+                    "t_compute_ms": round(t_comp * 1e3, 3),
+                    "t_comm_ms": round(
+                        (t_comm_halo + transfer_bytes / ici_bps
+                         + grad_allreduce_bytes(p) / ici_bps) * 1e3, 3),
+                    "predicted_ms": round(t_step * 1e3, 3),
+                    "predicted_efficiency": round(
+                        t_chip / (p * t_step), 4)}}
+            del bg
+            out["large"]["strategies"][str(p)] = ent
+            log(f"large({args.large_nodes}) P={p}: " + ", ".join(
+                f"{k}={v['model']['predicted_efficiency']:.3f}"
+                for k, v in ent.items()))
 
     with open(args.out, "w") as f:
         json.dump(out, f, indent=1)
