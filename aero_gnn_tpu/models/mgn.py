@@ -226,7 +226,7 @@ def run_processor(stacked_layers, layer_cfg: B.MGNLayerConfig,
         raise ValueError("remat_offload requires remat_group > 1 (the "
                          "offload streams GROUP boundaries to host)")
 
-    if remat and remat_group > 1:
+    if remat and remat_group > 1 and remat_offload:
         num_layers = jax.tree.leaves(stacked_layers)[0].shape[0]
         if num_layers % remat_group:
             raise ValueError(
@@ -236,14 +236,6 @@ def run_processor(stacked_layers, layer_cfg: B.MGNLayerConfig,
         grouped = jax.tree.map(
             lambda a: a.reshape((groups, remat_group) + a.shape[1:]),
             stacked_layers)
-        # two-level remat: the outer checkpoint saves only group-boundary
-        # (x, e); the INNER per-layer checkpoint matters too — without it,
-        # the group's backward holds every member layer's fused-VJP
-        # residuals (sg/d_proj, ~2.3 [E,h] each) simultaneously.
-        # remat_group_policy="save_fused" keeps exactly those named
-        # residuals during the group replay — each layer's backward then
-        # skips its own (third) forward recompute; peak rises by
-        # K x (sg + d_proj + agg) per group (see MGNConfig docstring).
         if remat_group_policy == "save_fused":
             inner = jax.checkpoint(
                 body, policy=jax.checkpoint_policies.save_only_these_names(
@@ -293,12 +285,54 @@ def run_processor(stacked_layers, layer_cfg: B.MGNLayerConfig,
                          if g < groups - 1 else out_dev)
             return carry
 
+    return checkpointed_layer_stack(
+        body, (x, e), stacked_layers, remat=remat,
+        remat_policy=remat_policy, unroll=unroll, remat_group=remat_group,
+        remat_group_policy=remat_group_policy)
+
+
+def checkpointed_layer_stack(body, carry, stacked_layers, *,
+                             remat: bool = True,
+                             remat_policy: str = "save_fused",
+                             unroll: bool = False, remat_group: int = 0,
+                             remat_group_policy: str = "full"):
+    """Run ``body`` (scan semantics) over stacked layer params under the
+    configured checkpoint scheme. Factored out of run_processor (round 5)
+    so the parallel paths (parallel/halo.py, parallel/bsms_spatial.py)
+    share the two-level GROUPED remat — per-shard sizes >= 262k nodes
+    (2M-node meshes on 8 chips) exceed HBM under plain per-layer remat
+    exactly like the single-chip >262k regime does.
+
+    Two-level remat: the outer checkpoint saves only group-boundary
+    carries; the INNER per-layer checkpoint matters too — without it the
+    group's backward holds every member layer's fused-VJP residuals
+    simultaneously. remat_group_policy="save_fused" keeps the named fused
+    residuals (sg/d_proj/agg) during the group replay so each layer's
+    backward skips its own (third) forward recompute; peak rises by
+    K x (sg + d_proj + agg) per group (see MGNConfig docstring)."""
+    if remat and remat_group > 1:
+        num_layers = jax.tree.leaves(stacked_layers)[0].shape[0]
+        if num_layers % remat_group:
+            raise ValueError(
+                f"remat_group={remat_group} must divide the layer count "
+                f"{num_layers}")
+        groups = num_layers // remat_group
+        grouped = jax.tree.map(
+            lambda a: a.reshape((groups, remat_group) + a.shape[1:]),
+            stacked_layers)
+        if remat_group_policy == "save_fused":
+            inner = jax.checkpoint(
+                body, policy=jax.checkpoint_policies.save_only_these_names(
+                    "mgn_sg", "mgn_dproj", "mgn_agg"))
+        else:
+            inner = jax.checkpoint(body)
+
         @jax.checkpoint
         def group_body(carry, group_params):
             return scan_layers(inner, carry, group_params,
                                unroll=unroll), None
 
-        return scan_layers(group_body, (x, e), grouped, unroll=unroll)
+        return scan_layers(group_body, carry, grouped, unroll=unroll)
     if remat:
         if remat_policy == "save_fused":
             policy = jax.checkpoint_policies.save_only_these_names(
@@ -306,7 +340,7 @@ def run_processor(stacked_layers, layer_cfg: B.MGNLayerConfig,
             body = jax.checkpoint(body, policy=policy)
         else:
             body = jax.checkpoint(body)
-    return scan_layers(body, (x, e), stacked_layers, unroll=unroll)
+    return scan_layers(body, carry, stacked_layers, unroll=unroll)
 
 
 def scan_layers(body, carry, stacked_layers, *, unroll: bool = False):

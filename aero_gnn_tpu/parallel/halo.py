@@ -29,7 +29,8 @@ from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from aero_gnn_tpu.graph.padded import _round_up, sort_edges_by_receiver
-from aero_gnn_tpu.models.mgn import scan_layers
+from aero_gnn_tpu.models.mgn import (checkpointed_layer_stack,
+                                     scan_layers)
 from aero_gnn_tpu.nn import blocks as B
 from aero_gnn_tpu.nn import mlp as M
 from aero_gnn_tpu.parallel.xla_flags import async_jit_options
@@ -491,10 +492,13 @@ def halo_mgn_forward(params, cfg, sg: HaloSpatialGraph, *,
         x, e = _halo_layer(layer_params, layer_cfg, x, e, sg, axis)
         return (x, e), None
 
-    if getattr(cfg, "remat", True):
-        body = jax.checkpoint(body)
-    x, e = scan_layers(body, (x, e), params["layers"],
-                       unroll=getattr(cfg, "unroll", False))
+    x, e = checkpointed_layer_stack(
+        body, (x, e), params["layers"],
+        remat=getattr(cfg, "remat", True),
+        remat_policy=getattr(cfg, "remat_policy", "save_fused"),
+        unroll=getattr(cfg, "unroll", False),
+        remat_group=getattr(cfg, "remat_group", 0),
+        remat_group_policy=getattr(cfg, "remat_group_policy", "full"))
     return M.mlp_apply(params["decoder"], x, activation=cfg.activation)
 
 
@@ -642,10 +646,13 @@ def halo_split_mgn_forward(params, cfg, sg: HaloSplitGraph, *,
             layer_params, layer_cfg, x, e_int, e_bnd, sg, axis)
         return (x, e_int, e_bnd), None
 
-    if getattr(cfg, "remat", True):
-        body = jax.checkpoint(body)
-    x, _, _ = scan_layers(body, (x, e_int, e_bnd), params["layers"],
-                          unroll=getattr(cfg, "unroll", False))
+    x, _, _ = checkpointed_layer_stack(
+        body, (x, e_int, e_bnd), params["layers"],
+        remat=getattr(cfg, "remat", True),
+        remat_policy=getattr(cfg, "remat_policy", "save_fused"),
+        unroll=getattr(cfg, "unroll", False),
+        remat_group=getattr(cfg, "remat_group", 0),
+        remat_group_policy=getattr(cfg, "remat_group_policy", "full"))
     return M.mlp_apply(params["decoder"], x, activation=cfg.activation)
 
 

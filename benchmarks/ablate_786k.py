@@ -58,6 +58,16 @@ def main():
         "pg_w64": {"AERO_GNN_PG": "1", "AERO_GNN_PGF": "1",
                    "AERO_GNN_PG_WIN": "65536",
                    "AERO_GNN_PGF_WIN": "65536"},
+        "pg_w48": {"AERO_GNN_PG": "1", "AERO_GNN_PGF": "1",
+                   "AERO_GNN_PG_WIN": "49152",
+                   "AERO_GNN_PGF_WIN": "49152"},
+        "pg_w32": {"AERO_GNN_PG": "1", "AERO_GNN_PGF": "1",
+                   "AERO_GNN_PG_WIN": "32768",
+                   "AERO_GNN_PGF_WIN": "32768"},
+        "pg_c32w64": {"AERO_GNN_PG": "1", "AERO_GNN_PGF": "1",
+                      "AERO_GNN_PG_CHUNK": "32768",
+                      "AERO_GNN_PG_WIN": "65536",
+                      "AERO_GNN_PGF_WIN": "65536"},
     }
     sel = os.environ.get("ABLATE_CONFIGS")
     names = [s.strip() for s in sel.split(",")] if sel else list(geo)

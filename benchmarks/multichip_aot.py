@@ -81,6 +81,12 @@ def main():
     remat_env = os.environ.get("AOT_REMAT", "auto")
     use_remat = (per_shard > 262144) if remat_env == "auto" \
         else remat_env == "1"
+    # per-layer remat keeps the fused-VJP residuals under the default
+    # save_fused policy (~3 [E,h] per layer — what it saves the THIRD
+    # forward with); at >=262k rows/shard that is ~9G, so large shards
+    # need the minimum-memory "full" policy (AOT_REMAT_POLICY overrides)
+    remat_policy = os.environ.get(
+        "AOT_REMAT_POLICY", "full" if per_shard >= 262144 else "save_fused")
     log(f"mesh: {n_nodes} nodes / {n_edges} edges, {n_dev} shards "
         f"({per_shard} nodes/shard, remat={use_remat})")
 
@@ -170,7 +176,8 @@ def main():
             num_hidden_layers_decoder=2,
             aggregation="add", do_concat_trick=True,
             compute_dtype="bfloat16",
-            remat=use_remat, unroll=not use_remat)
+            remat=use_remat, unroll=not use_remat,
+            remat_policy=remat_policy)
         params = cfg.init(jax.random.PRNGKey(0))
         opt_state = optimizer.init(params)
         t0 = time.time()
@@ -207,7 +214,8 @@ def main():
             hidden_dim_node_encoder=128, hidden_dim_edge_encoder=128,
             hidden_dim_decoder=128, aggregation="add", do_concat_trick=True,
             num_scales=3, hierarchy_mode="bistride", transfer="weighted",
-            compute_dtype="bfloat16", remat=use_remat, unroll=not use_remat)
+            compute_dtype="bfloat16", remat=use_remat, unroll=not use_remat,
+            remat_policy=remat_policy)
         bh_params = bh_cfg.init(jax.random.PRNGKey(1))
         bh_opt = optimizer.init(bh_params)
         t0 = time.time()
