@@ -78,17 +78,26 @@ def main():
     # remat per the measured single-chip envelope (BASELINE.md large-mesh
     # table): activations fit HBM remat-free up to ~262k nodes; above it
     # per-layer remat (the halo paths' supported mode)
+    # The halo programs carry boundary streams + halo buffers on top of
+    # the single-chip footprint: 2M/8 (262k/shard) measured 23.16G
+    # remat-OFF and 17.92G under per-layer remat — both OVER. The fit
+    # recipe is the single-chip large-mesh one (BASELINE.md): grouped
+    # remat K=3 + unrolled groups, save_fused inner up to 786k rows/shard
+    # (mirrors bench.py auto rules, threshold lowered one band for the
+    # halo overhead). AOT_REMAT / AOT_REMAT_GROUP override.
     remat_env = os.environ.get("AOT_REMAT", "auto")
-    use_remat = (per_shard > 262144) if remat_env == "auto" \
+    use_remat = (per_shard >= 262144) if remat_env == "auto" \
         else remat_env == "1"
-    # per-layer remat keeps the fused-VJP residuals under the default
-    # save_fused policy (~3 [E,h] per layer — what it saves the THIRD
-    # forward with); at >=262k rows/shard that is ~9G, so large shards
-    # need the minimum-memory "full" policy (AOT_REMAT_POLICY overrides)
+    remat_group = int(os.environ.get(
+        "AOT_REMAT_GROUP", "3" if use_remat else "0"))
+    remat_gpolicy = os.environ.get(
+        "AOT_REMAT_GROUP_POLICY",
+        "save_fused" if per_shard <= 786432 else "full")
     remat_policy = os.environ.get(
         "AOT_REMAT_POLICY", "full" if per_shard >= 262144 else "save_fused")
     log(f"mesh: {n_nodes} nodes / {n_edges} edges, {n_dev} shards "
-        f"({per_shard} nodes/shard, remat={use_remat})")
+        f"({per_shard} nodes/shard, remat={use_remat} group={remat_group} "
+        f"gpolicy={remat_gpolicy})")
 
     repl = NamedSharding(mesh, P())
 
@@ -176,8 +185,9 @@ def main():
             num_hidden_layers_decoder=2,
             aggregation="add", do_concat_trick=True,
             compute_dtype="bfloat16",
-            remat=use_remat, unroll=not use_remat,
-            remat_policy=remat_policy)
+            remat=use_remat, unroll=True,
+            remat_policy=remat_policy, remat_group=remat_group,
+            remat_group_policy=remat_gpolicy)
         params = cfg.init(jax.random.PRNGKey(0))
         opt_state = optimizer.init(params)
         t0 = time.time()
@@ -214,8 +224,9 @@ def main():
             hidden_dim_node_encoder=128, hidden_dim_edge_encoder=128,
             hidden_dim_decoder=128, aggregation="add", do_concat_trick=True,
             num_scales=3, hierarchy_mode="bistride", transfer="weighted",
-            compute_dtype="bfloat16", remat=use_remat, unroll=not use_remat,
-            remat_policy=remat_policy)
+            compute_dtype="bfloat16", remat=use_remat, unroll=True,
+            remat_policy=remat_policy, remat_group=remat_group,
+            remat_group_policy=remat_gpolicy)
         bh_params = bh_cfg.init(jax.random.PRNGKey(1))
         bh_opt = optimizer.init(bh_params)
         t0 = time.time()

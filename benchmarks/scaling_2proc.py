@@ -133,7 +133,54 @@ _WORKER = textwrap.dedent("""
     # bytes MOVED per exchange per device: send [P,H,h] -> its off-shard
     # half actually crosses the channel
     bytes_cross = H * h * 4  # one [H, h] f32 block to the peer
+
+    # --- flagship bsms_halo train step across the same 2 real processes
+    # (VERDICT r4 item 4: the r4 record covered halo-split MGN only) ---
+    bs_ms = bs_loss = bs_compile = None
+    if os.environ.get("P2_BSMS", "1") == "1":
+        from aero_gnn_tpu.models.bsms import BSMSConfig
+        from aero_gnn_tpu.parallel import bsms_spatial as BS
+        bg = BS.partition_bsms_halo(
+            senders=np.asarray(s.senders, np.int64),
+            receivers=np.asarray(s.receivers, np.int64), x=s.x,
+            edge_attr=s.edge_attr, pos=s.pos, y=s.y, num_parts=2,
+            num_scales=3, mode="bistride")
+        spec_tree = BS._bsms_halo_in_spec(bg, "graph")
+
+        def glob_spec(a, sp):
+            a = np.asarray(a)
+            sh = NamedSharding(mesh, sp)
+            return jax.make_array_from_callback(
+                a.shape, sh, lambda idx: a[idx])
+
+        bg_g = jax.tree.map(glob_spec, bg, spec_tree)
+        bs_cfg = BSMSConfig(
+            input_node_dim=6, input_edge_dim=3, output_node_dim=4,
+            processor_size=layers, hidden_dim_processor=128,
+            hidden_dim_node_encoder=128, hidden_dim_edge_encoder=128,
+            hidden_dim_decoder=128, aggregation="add",
+            do_concat_trick=True, num_scales=3, hierarchy_mode="bistride",
+            transfer="weighted", remat=False, unroll=False)
+        bs_params = globalize(bs_cfg.init(jax.random.PRNGKey(1)), repl)
+        bs_ost = globalize(optimizer.init(
+            bs_cfg.init(jax.random.PRNGKey(1))), repl)
+        bs_step = BS.make_bsms_halo_train_step(bs_cfg, optimizer, mesh)
+        t0 = time.perf_counter()
+        bs_params, bs_ost, bl = bs_step(bs_params, bs_ost, bg_g)
+        jax.block_until_ready(bl)
+        bs_compile = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            bs_params, bs_ost, bl = bs_step(bs_params, bs_ost, bg_g)
+        jax.block_until_ready(bl)
+        bs_ms = (time.perf_counter() - t0) / reps * 1e3
+        bs_loss = float(jax.device_get(bl))
+
     print(json.dumps({
+        "bsms_train_step_ms": None if bs_ms is None else round(bs_ms, 2),
+        "bsms_loss": bs_loss,
+        "bsms_compile_s": None if bs_compile is None
+        else round(bs_compile, 1),
         "pid": pid, "halo_rows": int(H), "nodes_per_part": int(nl),
         "compile_s": round(compile_s, 1),
         "train_step_ms": round(step_ms, 2),
@@ -189,13 +236,15 @@ def main():
         "nodes": n_nodes, "layers": layers,
         "workers": recs,
     }
-    out_path = os.path.join(REPO, "SCALING_2PROC_r4.json")
+    out_path = os.path.join(REPO, os.environ.get("P2_OUT", "SCALING_2PROC_r4.json"))
     with open(out_path, "w") as f:
         json.dump(result, f, indent=1)
     log(f"wrote {out_path}")
     print(json.dumps({"metric": "p2_exchange_ms_per_layer",
                       "value": recs[0]["exchange_ms_per_layer"],
-                      "train_step_ms": recs[0]["train_step_ms"]}))
+                      "train_step_ms": recs[0]["train_step_ms"],
+                      "bsms_train_step_ms":
+                          recs[0].get("bsms_train_step_ms")}))
 
 
 if __name__ == "__main__":
