@@ -68,11 +68,21 @@ def main():
                       "AERO_GNN_PG_CHUNK": "32768",
                       "AERO_GNN_PG_WIN": "65536",
                       "AERO_GNN_PGF_WIN": "65536"},
+        # scan-based chunk loops (the pre-r5 form; fits where plan temps
+        # allow — 524k yes, 786k no). "_trace" env applies at program
+        # TRACE time, not graph build.
+        "pg_both_scan": {"AERO_GNN_PG": "1", "AERO_GNN_PGF": "1",
+                         "_trace": {"AERO_GNN_PG_UNROLL": "0"}},
+        "pg_w64_scan": {"AERO_GNN_PG": "1", "AERO_GNN_PGF": "1",
+                        "AERO_GNN_PG_WIN": "65536",
+                        "AERO_GNN_PGF_WIN": "65536",
+                        "_trace": {"AERO_GNN_PG_UNROLL": "0"}},
     }
     sel = os.environ.get("ABLATE_CONFIGS")
     names = [s.strip() for s in sel.split(",")] if sel else list(geo)
 
     def build_graph(env):
+        env = {k: v for k, v in env.items() if k != "_trace"}
         keys = ["AERO_GNN_PG", "AERO_GNN_PGF", "AERO_GNN_PG_WIN",
                 "AERO_GNN_PGF_WIN", "AERO_GNN_PG_CHUNK",
                 "AERO_GNN_PGF_CHUNK"]
@@ -137,11 +147,20 @@ def main():
             g = build_graph(geo[name])
             step = make_step()
             t0 = time.time()
+            trace_env = geo[name].get("_trace", {})
+            old_t = {k: os.environ.get(k) for k in trace_env}
+            os.environ.update(trace_env)
             try:
                 float(step(params, opt_state, g))
             except Exception as e:  # noqa: BLE001
                 log(f"[{name}] FAILED compile/run: {str(e)[:300]}")
                 continue
+            finally:
+                for k, v in old_t.items():
+                    if v is None:
+                        os.environ.pop(k, None)
+                    else:
+                        os.environ[k] = v
             log(f"[{name}] compiled+warm in {time.time()-t0:.0f}s")
             built[name] = (step, g)
 
