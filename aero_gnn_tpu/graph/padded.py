@@ -398,14 +398,26 @@ def _maybe_perm_gather_plan(sender_perm, senders_sorted, edge_mask,
     # 32k:64k / 64k:96k / 64k:128k / 128k:256k -> 288.7 / 286.2 / 289.1 /
     # 292.3 ms/step (plain 392.8)
     chunk = int(os.environ.get("AERO_GNN_PG_CHUNK", 65536))
-    window = int(os.environ.get("AERO_GNN_PG_WIN", 98304))
+    # window defaults are size-banded (round-5 interleaved sweeps): 96k
+    # windows win at 262k (ablate_permgather), 64k windows win at 524k
+    # (853.5 vs 870.2 ms/step) and 786k (1300.5 vs 1578.5) where source
+    # streams are deep in the slow-gather regime
+    big = num_src_rows >= 1_500_000
+    window = int(os.environ.get("AERO_GNN_PG_WIN",
+                                65536 if big else 98304))
     min_edges = int(os.environ.get("AERO_GNN_PG_MIN_EDGES", 393216))
-    max_edges = int(os.environ.get("AERO_GNN_PG_MAX_EDGES", 3 * 2**20))
+    # r4 ceilings protected the 1M fit from the scan-form plan temps; the
+    # unrolled chunk loops (ops.scatter._pg_chunks_unrolled) removed those
+    # arenas (786k: 17.72G -> 14.02G AOT; 1M w64: 14.70G FITS), so the
+    # ceilings now sit above the largest single-chip mesh
+    max_edges = int(os.environ.get("AERO_GNN_PG_MAX_EDGES", 5 * 2**20))
     # forward plan engages when the NODE table leaves the fast regime
     # (~100 MB bf16 at h=128); its window counts node rows
     fwd_min_nodes = int(os.environ.get("AERO_GNN_PGF_MIN_NODES", 393216))
-    fwd_max_nodes = int(os.environ.get("AERO_GNN_PGF_MAX_NODES", 786432))
-    fwd_window = int(os.environ.get("AERO_GNN_PGF_WIN", 98304))
+    fwd_max_nodes = int(os.environ.get("AERO_GNN_PGF_MAX_NODES",
+                                       1_572_864))
+    fwd_window = int(os.environ.get("AERO_GNN_PGF_WIN",
+                                    65536 if big else 98304))
     if chunk % ALIGN_EDGE_TILE:
         return None, sender_perm, senders_sorted
     masked_rows = np.nonzero(edge_mask == 0.0)[0]
@@ -440,23 +452,27 @@ def _maybe_perm_gather_plan(sender_perm, senders_sorted, edge_mask,
             fwd_mode == "1" or mode == "1"
             or fwd_min_nodes <= num_nodes_pad < fwd_max_nodes):
         # the receiver stream's length is fixed (everything keys off it),
-        # so the fwd chunk must DIVIDE it: pick the tile-count divisor
-        # closest to the swept 64k-row optimum (AERO_GNN_PGF_CHUNK forces
-        # an exact value, used by tests)
-        forced = os.environ.get("AERO_GNN_PGF_CHUNK")
-        if forced is not None:
-            fwd_chunk = int(forced) if len(senders) % int(forced) == 0 \
-                else None
-        else:
-            fwd_chunk = _pick_divisor_chunk(len(senders), ALIGN_EDGE_TILE)
-        if fwd_chunk is not None:
-            # pad edges point at the last pad node — far from any window —
-            # but their gathered rows are never observable (every consumer
-            # masks by edge_mask), so they are don't-care slots, not
-            # outliers
-            fwd = build_banded_gather_plan(
-                senders, edge_mask > 0, num_nodes_pad,
-                chunk=fwd_chunk, window=fwd_window)
+        # so the chunk decomposition PADS the index stream to a chunk
+        # multiple (pad slots read the last pad node as don't-care rows;
+        # ops.scatter._sender_gather_fwd_impl slices the output back to
+        # the stream length). Until round 5 the chunk had to DIVIDE the
+        # stream, which silently dropped the plan on meshes whose tile
+        # count had no divisor near the 64k-row optimum (1M: 4098 tiles
+        # = 2x3x683 -> best divisor chunk 6144 rows, out of range).
+        fwd_chunk = int(os.environ.get("AERO_GNN_PGF_CHUNK", chunk))
+        ftail = (-len(senders)) % fwd_chunk
+        s_f = np.concatenate(
+            [senders, np.full(ftail, num_nodes_pad - 1, senders.dtype)]) \
+            if ftail else senders
+        v_f = edge_mask > 0
+        if ftail:
+            v_f = np.concatenate([v_f, np.zeros(ftail, bool)])
+        # pad edges point at the last pad node — far from any window —
+        # but their gathered rows are never observable (every consumer
+        # masks by edge_mask), so they are don't-care slots, not outliers
+        fwd = build_banded_gather_plan(
+            s_f, v_f, num_nodes_pad,
+            chunk=fwd_chunk, window=fwd_window)
 
     if bwd is None and fwd is None:
         return None, perm.astype(np.int32), keys

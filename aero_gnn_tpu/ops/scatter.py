@@ -292,18 +292,26 @@ def build_banded_gather_plan(indices: np.ndarray, valid: np.ndarray,
         window=int(window))
 
 
-def _pg_chunks_unrolled() -> bool:
-    """AERO_GNN_PG_UNROLL (default on): execute the banded gathers' chunk
+def _pg_chunks_unrolled(n_rows: int) -> bool:
+    """AERO_GNN_PG_UNROLL (auto | 0 | 1): execute the banded gathers' chunk
     loop as unrolled slices + one concatenate instead of a lax.scan. The
     scan's stacked [K, C, h] output lowers to an AllocateBuffer arena that
     XLA's buffer assignment cannot share or free early — with 15 unrolled
     layers each running windowed gathers, those arenas were the ~7 GB that
-    kept the plans from fitting beside grouped remat at 786k
-    (BASELINE.md "786k knee"); unrolled chunks write straight into the
-    one [E, h] result buffer."""
+    kept the plans from fitting beside grouped remat at 786k (BASELINE.md
+    "786k knee"); unrolled chunks write straight into the one [E, h]
+    result buffer. But where the scan DOES fit it is faster on-chip
+    (524k interleaved A/B: scan 870.2 / concat 1090.4 ms/step at w96,
+    853.5 / 903.3 at w64 — the scan body double-buffers its window DMA;
+    the concat form serializes per-chunk fusions), so auto keeps the scan
+    up to ~2.5M stream rows (the 524k mesh) and unrolls above (786k/1M,
+    where the scan form compile-OOMs)."""
     import os
 
-    return os.environ.get("AERO_GNN_PG_UNROLL", "1") == "1"
+    mode = os.environ.get("AERO_GNN_PG_UNROLL", "auto")
+    if mode in ("0", "1"):
+        return mode == "1"
+    return n_rows > 2_500_000
 
 
 def banded_gather(table: jax.Array, plan: BandedGatherPlan) -> jax.Array:
@@ -319,7 +327,7 @@ def banded_gather(table: jax.Array, plan: BandedGatherPlan) -> jax.Array:
         return rows.at[pos_k].set(fix, mode="drop",
                                   indices_are_sorted=True)
 
-    if _pg_chunks_unrolled():
+    if _pg_chunks_unrolled(k_chunks * chunk):
         return jnp.concatenate(
             [one(plan.lo[k], plan.idx[k], plan.out_pos[k], plan.out_src[k])
              for k in range(k_chunks)], axis=0)
@@ -356,7 +364,7 @@ def banded_perm_gather(ct: jax.Array, plan: PermGatherPlan) -> jax.Array:
         rows = win.at[idx_k].get(mode="promise_in_bounds")
         return rows * m_k[:, None].astype(rows.dtype)
 
-    if _pg_chunks_unrolled():
+    if _pg_chunks_unrolled(k_chunks * chunk):
         return jnp.concatenate(
             [one(plan.lo[k], plan.idx[k], plan.mask[k])
              for k in range(k_chunks)], axis=0)
@@ -370,7 +378,13 @@ def banded_perm_gather(ct: jax.Array, plan: PermGatherPlan) -> jax.Array:
 
 def _sender_gather_fwd_impl(x, senders, plan):
     if plan is not None and plan.fwd is not None:
-        return banded_gather(x, plan.fwd)
+        out = banded_gather(x, plan.fwd)
+        # fwd plans may pad the index stream to a chunk multiple
+        # (graph.padded builds them that way when the stream length has
+        # no tile-divisor chunk near the optimum) — slice back
+        if out.shape[0] != senders.shape[0]:
+            out = out[: senders.shape[0]]
+        return out
     return x.at[senders].get(mode="promise_in_bounds")
 
 
