@@ -690,7 +690,7 @@ def bsms_halo_forward(params, cfg, bg: BSMSHaloGraph, *,
     """Per-shard BSMS forward with EVERY level sharded (inside shard_map).
     Uses BSMSConfig params; supports both the "mean" and the "weighted"
     (WeightedEdgeConv) transfer."""
-    from aero_gnn_tpu.models.mgn import scan_layers
+    from aero_gnn_tpu.models.mgn import checkpointed_layer_stack
     from aero_gnn_tpu.parallel.halo import _halo_split_layer
 
     levels = bg.levels
@@ -704,10 +704,17 @@ def bsms_halo_forward(params, cfg, bg: BSMSHaloGraph, *,
             x, ei, eb = _halo_split_layer(lp, layer_cfg, x, ei, eb,
                                           lvl.graph, axis)
             return (x, ei, eb), None
-        if getattr(cfg, "remat", True):
-            body = jax.checkpoint(body)
-        return scan_layers(body, (x, ei, eb), stacked,
-                           unroll=getattr(cfg, "unroll", False))
+        # grouped remat only on stacks it divides (the bottleneck stack
+        # at large per-shard sizes; 2-layer down/up stacks stay per-layer)
+        n_l = jax.tree.leaves(stacked)[0].shape[0]
+        rg = getattr(cfg, "remat_group", 0)
+        return checkpointed_layer_stack(
+            body, (x, ei, eb), stacked,
+            remat=getattr(cfg, "remat", True),
+            remat_policy=getattr(cfg, "remat_policy", "save_fused"),
+            unroll=getattr(cfg, "unroll", False),
+            remat_group=rg if rg > 1 and n_l % rg == 0 else 0,
+            remat_group_policy=getattr(cfg, "remat_group_policy", "full"))
 
     def sparse_reduce(payload, slot, recv_rows, n_dst):
         """Owner-routed reduction: one segment-sum into [n_dst + P*Ht]
@@ -731,12 +738,25 @@ def bsms_halo_forward(params, cfg, bg: BSMSHaloGraph, *,
             [xk1, table.reshape(-1, xk1.shape[-1])], axis=0
         ).at[fetch].get(mode="promise_in_bounds")
 
+    from aero_gnn_tpu.models.mgn import _cast, cast_params
+    from aero_gnn_tpu.parallel.halo import cast_split_graph
+    cdt = getattr(cfg, "compute_dtype", "float32")
+    params = cast_params(params, cdt)
+    if cdt != "float32":
+        # bf16 compute on every level (matching MGNConfig.apply): halves
+        # per-shard HBM and the halo/transfer exchange bytes. WEC conv
+        # weights stay f32 by design (_wec_weight semantics).
+        levels = tuple(
+            dataclasses.replace(lvl, graph=cast_split_graph(lvl.graph, cdt))
+            for lvl in levels)
     L0 = levels[0]
-    x = M.mlp_apply(params["node_encoder"], L0.graph.x,
+    x = M.mlp_apply(params["node_encoder"], _cast(L0.graph.x, cdt),
                     activation=cfg.activation)
-    e_i = M.mlp_apply(params["edge_encoder"], L0.graph.edge_attr_int,
+    e_i = M.mlp_apply(params["edge_encoder"],
+                      _cast(L0.graph.edge_attr_int, cdt),
                       activation=cfg.activation)
-    e_b = M.mlp_apply(params["edge_encoder"], L0.graph.edge_attr_bnd,
+    e_b = M.mlp_apply(params["edge_encoder"],
+                      _cast(L0.graph.edge_attr_bnd, cdt),
                       activation=cfg.activation)
     dt = x.dtype
 
@@ -801,7 +821,8 @@ def bsms_halo_forward(params, cfg, bg: BSMSHaloGraph, *,
         e_i, e_b = sei, seb
         x, e_i, e_b = stack(params["up"][i], lvl, x, e_i, e_b)
 
-    return M.mlp_apply(params["decoder"], x, activation=cfg.activation)
+    return M.mlp_apply(params["decoder"], x,
+                       activation=cfg.activation).astype(jnp.float32)
 
 
 def _localize_halo(bg: BSMSHaloGraph) -> BSMSHaloGraph:

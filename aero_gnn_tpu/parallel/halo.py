@@ -29,8 +29,8 @@ from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from aero_gnn_tpu.graph.padded import _round_up, sort_edges_by_receiver
-from aero_gnn_tpu.models.mgn import (checkpointed_layer_stack,
-                                     scan_layers)
+from aero_gnn_tpu.models.mgn import (_cast, cast_params,
+                                     checkpointed_layer_stack, scan_layers)
 from aero_gnn_tpu.nn import blocks as B
 from aero_gnn_tpu.nn import mlp as M
 from aero_gnn_tpu.parallel.xla_flags import async_jit_options
@@ -482,6 +482,14 @@ def _halo_layer(layer_params, cfg: B.MGNLayerConfig, x, e, sg, axis):
 def halo_mgn_forward(params, cfg, sg: HaloSpatialGraph, *,
                      axis: str = "graph") -> jax.Array:
     """Per-shard MGN forward with sparse halo exchange (inside shard_map)."""
+    dt = getattr(cfg, "compute_dtype", "float32")
+    params = cast_params(params, dt)
+    if dt != "float32":
+        # bf16 compute (matching MGNConfig.apply): halves per-shard HBM
+        # AND the halo exchange bytes (the scaling model assumes 2 B/act)
+        sg = dataclasses.replace(
+            sg, x=_cast(sg.x, dt), edge_attr=_cast(sg.edge_attr, dt),
+            edge_mask=_cast(sg.edge_mask, dt))
     x = M.mlp_apply(params["node_encoder"], sg.x, activation=cfg.activation)
     e = M.mlp_apply(params["edge_encoder"], sg.edge_attr,
                     activation=cfg.activation)
@@ -499,7 +507,8 @@ def halo_mgn_forward(params, cfg, sg: HaloSpatialGraph, *,
         unroll=getattr(cfg, "unroll", False),
         remat_group=getattr(cfg, "remat_group", 0),
         remat_group_policy=getattr(cfg, "remat_group_policy", "full"))
-    return M.mlp_apply(params["decoder"], x, activation=cfg.activation)
+    return M.mlp_apply(params["decoder"], x,
+                       activation=cfg.activation).astype(jnp.float32)
 
 
 def _fused_interior_ok(cfg: B.MGNLayerConfig, x, sg: HaloSplitGraph) -> bool:
@@ -630,9 +639,26 @@ def _halo_split_layer(layer_params, cfg: B.MGNLayerConfig, x, e_int, e_bnd,
     return x, e_int, e_bnd
 
 
+def cast_split_graph(sg: HaloSplitGraph, dt: str) -> HaloSplitGraph:
+    """Cast the compute-path float streams to the compute dtype (masks
+    too — an f32 mask would silently promote every [E, h] product back
+    to f32). y / node_mask stay f32 for the loss."""
+    if dt == "float32":
+        return sg
+    return dataclasses.replace(
+        sg, x=_cast(sg.x, dt),
+        edge_attr_int=_cast(sg.edge_attr_int, dt),
+        edge_attr_bnd=_cast(sg.edge_attr_bnd, dt),
+        edge_mask_int=_cast(sg.edge_mask_int, dt),
+        edge_mask_bnd=_cast(sg.edge_mask_bnd, dt))
+
+
 def halo_split_mgn_forward(params, cfg, sg: HaloSplitGraph, *,
                            axis: str = "graph") -> jax.Array:
     """Per-shard MGN forward with the overlapped (split-stream) halo."""
+    dt = getattr(cfg, "compute_dtype", "float32")
+    params = cast_params(params, dt)
+    sg = cast_split_graph(sg, dt)
     x = M.mlp_apply(params["node_encoder"], sg.x, activation=cfg.activation)
     e_int = M.mlp_apply(params["edge_encoder"], sg.edge_attr_int,
                         activation=cfg.activation)
@@ -653,7 +679,8 @@ def halo_split_mgn_forward(params, cfg, sg: HaloSplitGraph, *,
         unroll=getattr(cfg, "unroll", False),
         remat_group=getattr(cfg, "remat_group", 0),
         remat_group_policy=getattr(cfg, "remat_group_policy", "full"))
-    return M.mlp_apply(params["decoder"], x, activation=cfg.activation)
+    return M.mlp_apply(params["decoder"], x,
+                       activation=cfg.activation).astype(jnp.float32)
 
 
 def make_halo_split_forward(model_cfg, mesh: Mesh, *, axis: str = "graph"):

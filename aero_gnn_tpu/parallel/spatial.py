@@ -312,6 +312,14 @@ def spatial_mgn_forward(params, cfg, sg_block: SpatialGraph,
     ``sg_block`` fields are the SINGLE-shard slices (leading [P,...] axis
     already stripped). Uses the same parameter pytree as MGNConfig.
     """
+    from aero_gnn_tpu.models.mgn import _cast, cast_params
+    dt = getattr(cfg, "compute_dtype", "float32")
+    params = cast_params(params, dt)
+    if dt != "float32":
+        sg_block = dataclasses.replace(
+            sg_block, x=_cast(sg_block.x, dt),
+            edge_attr=_cast(sg_block.edge_attr, dt),
+            edge_mask=_cast(sg_block.edge_mask, dt))
     x = M.mlp_apply(params["node_encoder"], sg_block.x,
                     activation=cfg.activation)
     e = M.mlp_apply(params["edge_encoder"], sg_block.edge_attr,
@@ -334,7 +342,8 @@ def spatial_mgn_forward(params, cfg, sg_block: SpatialGraph,
     from aero_gnn_tpu.models.mgn import scan_layers
     x, e = scan_layers(body, (x, e), params["layers"],
                        unroll=getattr(cfg, "unroll", False))
-    return M.mlp_apply(params["decoder"], x, activation=cfg.activation)
+    return M.mlp_apply(params["decoder"], x,
+                       activation=cfg.activation).astype(jnp.float32)
 
 
 def spatial_model_forward(params, model_cfg, sg_block: SpatialGraph, *,
