@@ -207,6 +207,92 @@ def _agg_kernel_premask_weighted(tile_block_ref, tile_first_ref, recv_ref,
     ).astype(out_ref.dtype)
 
 
+def _agg_kernel_premask_weighted2(tile_block_ref, tile_first_ref, recv_ref,
+                                  w1_ref, w2_ref, m1_ref, m2_ref,
+                                  out1_ref, out2_ref):
+    """Dual-stream weighted aggregation: TWO message streams with TWO
+    weight vectors over the SAME receiver layout in one kernel pass —
+    the receiver DMA, the local-id compare and the tile loop are shared;
+    only the select+cast and the one-hot matmul double (VERDICT r4 item
+    8's "shared one-hot, two weight vectors" probe)."""
+    t = pl.program_id(0)
+
+    @pl.when(tile_first_ref[t] == 1)
+    def _():
+        out1_ref[:] = jnp.zeros_like(out1_ref)
+        out2_ref[:] = jnp.zeros_like(out2_ref)
+
+    base = tile_block_ref[t] * NB
+    edges = recv_ref.shape[2]
+    local = recv_ref[0] - base  # [1, ET]
+    rows_iota = jax.lax.broadcasted_iota(jnp.int32, (NB, edges), 0)
+    eq = local == rows_iota  # shared compare
+    oh1 = jnp.where(eq, w1_ref[0],
+                    jnp.zeros((), jnp.float32)).astype(m1_ref.dtype)
+    oh2 = jnp.where(eq, w2_ref[0],
+                    jnp.zeros((), jnp.float32)).astype(m2_ref.dtype)
+    dn = (((1,), (0,)), ((), ()))
+    out1_ref[:] += jax.lax.dot_general(
+        oh1, m1_ref[:], dimension_numbers=dn,
+        preferred_element_type=jnp.float32).astype(out1_ref.dtype)
+    out2_ref[:] += jax.lax.dot_general(
+        oh2, m2_ref[:], dimension_numbers=dn,
+        preferred_element_type=jnp.float32).astype(out2_ref.dtype)
+
+
+def segment_agg_weighted2_pallas(m1, w1, m2, w2, receivers,
+                                 num_nodes: int):
+    """Dual weighted aggregation over one shared receiver stream (probe;
+    requires the block-aligned layout + premask mode and zero pad-edge
+    weights). Forward only — the model's WEC pairs never co-execute
+    (down and up convs sit on opposite sides of the U-Net bottleneck),
+    so this exists to MEASURE what pair-batching could save; see
+    benchmarks/micro_wec2.py."""
+    assert m1.shape[0] % ET == 0 and num_nodes % NB == 0
+    assert onehot_premask_enabled()
+    tile_block, tile_first = derive_tiles(receivers)
+    n_tiles = tile_block.shape[0]
+    h = m1.shape[1]
+    mask = jnp.ones(m1.shape[0], dtype=jnp.float32)
+    recv2d = recv_rows(premask_receivers(receivers, mask))
+    w1r = w1.astype(jnp.float32).reshape(-1, 1, ET)
+    w2r = w2.astype(jnp.float32).reshape(-1, 1, ET)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((1, 1, ET), lambda t, tb, tf: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, ET), lambda t, tb, tf: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, ET), lambda t, tb, tf: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ET, h), lambda t, tb, tf: (t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ET, h), lambda t, tb, tf: (t, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((NB, h), lambda t, tb, tf: (tb[t], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((NB, h), lambda t, tb, tf: (tb[t], 0),
+                         memory_space=pltpu.VMEM),
+        ],
+    )
+    return pl.pallas_call(
+        _agg_kernel_premask_weighted2,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((num_nodes, h), m1.dtype),
+                   jax.ShapeDtypeStruct((num_nodes, h), m2.dtype)],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * n_tiles * ET * NB * h,
+            bytes_accessed=(m1.size + m2.size + 2 * num_nodes * h)
+            * m1.dtype.itemsize,
+            transcendentals=0,
+        ),
+    )(tile_block, tile_first, recv2d, w1r, w2r, m1, m2)
+
+
 def _segment_sum_weighted_fwd(messages, weights, receivers, mask,
                               tile_block, tile_first, num_nodes: int):
     n_tiles = tile_block.shape[0]

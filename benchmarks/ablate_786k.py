@@ -77,12 +77,19 @@ def main():
                         "AERO_GNN_PG_WIN": "65536",
                         "AERO_GNN_PGF_WIN": "65536",
                         "_trace": {"AERO_GNN_PG_UNROLL": "0"}},
+        # K retune at the round-5 defaults (VERDICT r4 item 5c): grouped
+        # remat K=5 vs the K=3 anchor, both at the w64 auto geometry
+        "auto_k3": {},
+        "auto_k5": {"_cfg": {"remat_group": 5}},
+        "auto_k5_full": {"_cfg": {"remat_group": 5,
+                                  "remat_group_policy": "full"}},
     }
     sel = os.environ.get("ABLATE_CONFIGS")
     names = [s.strip() for s in sel.split(",")] if sel else list(geo)
 
     def build_graph(env):
-        env = {k: v for k, v in env.items() if k != "_trace"}
+        env = {k: v for k, v in env.items()
+               if k not in ("_trace", "_cfg")}
         keys = ["AERO_GNN_PG", "AERO_GNN_PGF", "AERO_GNN_PG_WIN",
                 "AERO_GNN_PGF_WIN", "AERO_GNN_PG_CHUNK",
                 "AERO_GNN_PGF_CHUNK"]
@@ -103,22 +110,27 @@ def main():
             f" fwd={'y' if sp and sp.fwd is not None else 'n'}")
         return g
 
-    cfg = MGNConfig(
-        input_node_dim=6, input_edge_dim=3, output_node_dim=4,
-        processor_size=15, hidden_dim_processor=128,
-        hidden_dim_node_encoder=128, hidden_dim_edge_encoder=128,
-        hidden_dim_decoder=128,
-        num_hidden_layers_node_processor=2,
-        num_hidden_layers_edge_processor=2,
-        num_hidden_layers_node_encoder=2,
-        num_hidden_layers_edge_encoder=2,
-        num_hidden_layers_decoder=2,
-        aggregation="add", do_concat_trick=True,
-        compute_dtype="bfloat16", remat=True, unroll=True,
-        remat_group=3, remat_group_policy="save_fused")
+    def make_cfg(**over):
+        kw = dict(
+            input_node_dim=6, input_edge_dim=3, output_node_dim=4,
+            processor_size=15, hidden_dim_processor=128,
+            hidden_dim_node_encoder=128, hidden_dim_edge_encoder=128,
+            hidden_dim_decoder=128,
+            num_hidden_layers_node_processor=2,
+            num_hidden_layers_edge_processor=2,
+            num_hidden_layers_node_encoder=2,
+            num_hidden_layers_edge_encoder=2,
+            num_hidden_layers_decoder=2,
+            aggregation="add", do_concat_trick=True,
+            compute_dtype="bfloat16", remat=True, unroll=True,
+            remat_group=3, remat_group_policy="save_fused")
+        kw.update(over)
+        return MGNConfig(**kw)
+
+    cfg = make_cfg()
     optimizer = make_optimizer(1e-3)
 
-    def make_step():
+    def make_step(cfg=cfg):
         @jax.jit
         def train_k(params, opt_state, graph):
             def body(carry, _):
@@ -145,7 +157,8 @@ def main():
     with ops.use_backend("pallas"):
         for name in names:
             g = build_graph(geo[name])
-            step = make_step()
+            over = geo[name].get("_cfg", {})
+            step = make_step(make_cfg(**over)) if over else make_step()
             t0 = time.time()
             trace_env = geo[name].get("_trace", {})
             old_t = {k: os.environ.get(k) for k in trace_env}
