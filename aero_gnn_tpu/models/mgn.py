@@ -320,12 +320,33 @@ def checkpointed_layer_stack(body, carry, stacked_layers, *,
         grouped = jax.tree.map(
             lambda a: a.reshape((groups, remat_group) + a.shape[1:]),
             stacked_layers)
-        if remat_group_policy == "save_fused":
-            inner = jax.checkpoint(
-                body, policy=jax.checkpoint_policies.save_only_these_names(
-                    "mgn_sg", "mgn_dproj", "mgn_agg"))
-        else:
-            inner = jax.checkpoint(body)
+        inner_sf = jax.checkpoint(
+            body, policy=jax.checkpoint_policies.save_only_these_names(
+                "mgn_sg", "mgn_dproj", "mgn_agg"))
+        inner_full = jax.checkpoint(body)
+        # "save_fused:N" applies the save_fused inner to only the FIRST N
+        # groups (layer order) and full remat to the rest — a partial form
+        # for meshes where full save_fused misses the fit by less than its
+        # whole overhead (1M: 17.17G vs 15.75G budget vs 14.70G full).
+        # The sf residuals are transient per group backward, but buffer
+        # assignment still prices the largest group's set — fewer sf
+        # groups bound that transient. Mixed groups force the unrolled
+        # outer loop (two distinct bodies).
+        if remat_group_policy.startswith("save_fused:"):
+            n_sf = int(remat_group_policy.split(":", 1)[1])
+
+            for g in range(groups):
+                gp = jax.tree.map(lambda a, g=g: a[g], grouped)
+                inner = inner_sf if g < n_sf else inner_full
+
+                @jax.checkpoint
+                def group_body(c, p, inner=inner):
+                    return scan_layers(inner, c, p, unroll=unroll), None
+
+                carry, _ = group_body(carry, gp)
+            return carry
+        inner = inner_sf if remat_group_policy == "save_fused" \
+            else inner_full
 
         @jax.checkpoint
         def group_body(carry, group_params):

@@ -195,6 +195,8 @@ def main():
                     kw["unroll"] = True
                 elif part == "sf":
                     kw["gpolicy"] = "save_fused"
+                elif part.startswith("sf"):
+                    kw["gpolicy"] = "save_fused:" + part[2:]
                 elif part.startswith("L"):
                     kw["mem_level"] = part[1:]
                 elif part.startswith("E"):
