@@ -186,9 +186,14 @@ def main():
     # inner checkpoint policy for grouped remat: save_fused skips the
     # per-layer THIRD forward (980.8 -> 875.7 ms at 524k,
     # benchmarks/ablate_524k.py) but its K x (sg+d_proj+agg) residuals
-    # break the 1M fit (fit_1m K3+unroll+sf OOM) — full there
+    # break the 1M fit (fit_1m K3+unroll+sf: 17.17G). Round 5: the
+    # PARTIAL policy save_fused:2 (sf inner on the first 2 of 5 groups)
+    # fits 1M at 15.73G (AOT + real-chip verified) and measures 1961 vs
+    # 2079 ms — auto uses it above 786k; BENCH_REMAT_GROUP_POLICY=full
+    # is the fallback if a future compiler breaks the 0.02G margin
     gp_env = os.environ.get("BENCH_REMAT_GROUP_POLICY", "auto")
-    remat_group_policy = ("save_fused" if n_nodes <= 786432 else "full") \
+    remat_group_policy = \
+        ("save_fused" if n_nodes <= 786432 else "save_fused:2") \
         if gp_env == "auto" else gp_env
     log(f"per-layer remat: {remat} ({remat_env}), unroll: {unroll}, "
         f"remat_group: {remat_group} ({remat_group_policy}), "
