@@ -83,6 +83,13 @@ def main():
         "auto_k5": {"_cfg": {"remat_group": 5}},
         "auto_k5_full": {"_cfg": {"remat_group": 5,
                                   "remat_group_policy": "full"}},
+        # 262k window-threshold validation (remat-off production config)
+        "w96_nr": {"AERO_GNN_PG": "1", "AERO_GNN_PGF": "1",
+                   "AERO_GNN_PG_WIN": "98304", "AERO_GNN_PGF_WIN": "98304",
+                   "_cfg": {"remat": False, "remat_group": 0}},
+        "w64_nr": {"AERO_GNN_PG": "1", "AERO_GNN_PGF": "1",
+                   "AERO_GNN_PG_WIN": "65536", "AERO_GNN_PGF_WIN": "65536",
+                   "_cfg": {"remat": False, "remat_group": 0}},
     }
     sel = os.environ.get("ABLATE_CONFIGS")
     names = [s.strip() for s in sel.split(",")] if sel else list(geo)
