@@ -47,6 +47,9 @@ def main():
     parser.add_argument("--lr", type=float, default=1e-3)
     parser.add_argument("--seeds", type=int, default=5)
     parser.add_argument("--out", default=os.path.join(ROOT, "PARITY_r5.json"))
+    parser.add_argument("--resume", action="store_true",
+                        help="keep stacks already present in --out that were "
+                             "run at the same --seeds count")
     args = parser.parse_args()
 
     os.environ.setdefault("JAX_PLATFORMS", "cpu")
@@ -213,8 +216,21 @@ def main():
                                    "num_scales": args.num_scales,
                                    "layers_per_scale":
                                        args.layers_per_scale}}}
+    if args.resume and os.path.exists(args.out):
+        with open(args.out) as f:
+            prior = json.load(f)
+        for name, row in prior.items():
+            if name == "dataset":
+                continue
+            # A stack is reusable only if it was run at the same seed count.
+            if len(row.get("test_mean_rrmse_pct_per_seed", [])) == args.seeds:
+                result[name] = row
+                log(f"resume: keeping completed stack {name}")
     summary = {}
     for name, fn in stacks:
+        if name in result:
+            summary[name] = round(result[name]["test_mean_rrmse_pct"], 3)
+            continue
         t0 = time.perf_counter()
         runs = [fn(seed) for seed in range(args.seeds)]
         wall = time.perf_counter() - t0
