@@ -38,6 +38,16 @@ def main():
     out_path = os.path.join(ROOT, os.environ.get(
         "BENCH_LARGE_OUT", "BENCH_LARGE_r5.json"))
     t0 = time.monotonic()
+    # merge: rows for sizes not re-run this invocation are kept, so the
+    # artifact can be refreshed one size at a time (BENCH_LARGE_SIZES)
+    kept = []
+    if os.path.exists(out_path):
+        try:
+            with open(out_path) as f:
+                kept = [r for r in json.load(f).get("rows", [])
+                        if r.get("nodes") not in sizes]
+        except Exception:  # noqa: BLE001 — corrupt artifact, start fresh
+            kept = []
     rows = []
     for i, n in enumerate(sizes):
         remaining = budget - (time.monotonic() - t0)
@@ -73,8 +83,9 @@ def main():
                         row["edges"] / j["value"] * 1e3, 1)
         rows.append(row)
         log(f"row: {row}")
+        merged = sorted(kept + rows, key=lambda r: r.get("nodes") or 0)
         with open(out_path, "w") as f:  # checkpoint after every size
-            json.dump({"rows": rows,
+            json.dump({"rows": merged,
                        "note": "train edges/s per size via bench.py armor "
                                "(BENCH_SKIP_BASELINE, no inference); "
                                "ms_per_step derived from known edge "
