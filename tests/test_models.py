@@ -550,6 +550,10 @@ class TestRematVariants:
         dict(remat=True, remat_group=2, unroll=True),
         dict(remat=True, remat_group=3, remat_offload=True),
         dict(remat=True, remat_group=3, remat_group_policy="save_fused"),
+        # partial inner policy (the 1M default, BENCH_REMAT_GROUP_POLICY
+        # auto -> "save_fused:2"): sf inner on the first N groups, full
+        # remat on the rest, outer loop forced unrolled
+        dict(remat=True, remat_group=3, remat_group_policy="save_fused:1"),
         dict(remat=False, unroll=True),
     ])
     def test_grads_match_no_remat(self, kw):

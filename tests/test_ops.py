@@ -220,7 +220,15 @@ class TestSortedTransposeVJPs:
         np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
                                    rtol=1e-5, atol=1e-5)
 
-    def test_graph_batch_builds_banded_plan(self, rng, monkeypatch):
+    @pytest.mark.parametrize("pgf_chunk,pg_unroll", [
+        ("1024", "0"),   # divisor fwd chunk, scan chunk loops
+        # non-divisor fwd chunk -> the round-5 PADDED index stream
+        # (don't-care pad slots, output sliced back), plus the unrolled
+        # chunk-loop execution (AERO_GNN_PG_UNROLL=1, the 786k/1M form)
+        ("1536", "1"),
+    ])
+    def test_graph_batch_builds_banded_plan(self, rng, monkeypatch,
+                                            pgf_chunk, pg_unroll):
         """build_graph_batch attaches a plan under AERO_GNN_PG=1 and the
         full-model grads match the plain path."""
         from aero_gnn_tpu.models.mgn import MGNConfig
@@ -237,8 +245,9 @@ class TestSortedTransposeVJPs:
         monkeypatch.setenv("AERO_GNN_PG", "1")
         monkeypatch.setenv("AERO_GNN_PG_CHUNK", "1024")
         monkeypatch.setenv("AERO_GNN_PG_WIN", "2048")
-        monkeypatch.setenv("AERO_GNN_PGF_CHUNK", "1024")
+        monkeypatch.setenv("AERO_GNN_PGF_CHUNK", pgf_chunk)
         monkeypatch.setenv("AERO_GNN_PGF_WIN", "512")
+        monkeypatch.setenv("AERO_GNN_PG_UNROLL", pg_unroll)
         gb_plan = P.build_graph_batch(**g, align_edges=True)
         monkeypatch.setenv("AERO_GNN_PG", "0")
         gb_plain = P.build_graph_batch(**g, align_edges=True)
