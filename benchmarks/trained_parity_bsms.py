@@ -49,7 +49,14 @@ def main():
     parser.add_argument("--out", default=os.path.join(ROOT, "PARITY_r5.json"))
     parser.add_argument("--resume", action="store_true",
                         help="keep stacks already present in --out that were "
-                             "run at the same --seeds count")
+                             "run at the same --seeds count; stacks with "
+                             "FEWER recorded seeds are EXTENDED (only the "
+                             "missing seed indices train — per-seed runs are "
+                             "deterministic, so extension equals a fresh run)")
+    parser.add_argument("--stacks", default="",
+                        help="comma-separated stack-name filter: run only "
+                             "these (others are kept verbatim from --out); "
+                             "lets two processes split the torch/JAX work")
     args = parser.parse_args()
 
     os.environ.setdefault("JAX_PLATFORMS", "cpu")
@@ -216,31 +223,49 @@ def main():
                                    "num_scales": args.num_scales,
                                    "layers_per_scale":
                                        args.layers_per_scale}}}
+    prior = {}
     if args.resume and os.path.exists(args.out):
         with open(args.out) as f:
             prior = json.load(f)
         for name, row in prior.items():
             if name == "dataset":
                 continue
-            # A stack is reusable only if it was run at the same seed count.
-            if len(row.get("test_mean_rrmse_pct_per_seed", [])) == args.seeds:
+            # A stack is reusable only if it was run at the same seed count
+            # (fewer seeds -> extended below; never shrunk).
+            if len(row.get("test_mean_rrmse_pct_per_seed", [])) >= args.seeds:
                 result[name] = row
                 log(f"resume: keeping completed stack {name}")
+    only = [s for s in args.stacks.split(",") if s]
     summary = {}
     for name, fn in stacks:
+        if only and name not in only:
+            if name in prior:  # carry the other process's row verbatim
+                result[name] = prior[name]
+            continue
         if name in result:
             summary[name] = round(result[name]["test_mean_rrmse_pct"], 3)
             continue
+        old = prior.get(name, {})
+        old_t = list(old.get("test_mean_rrmse_pct_per_seed", []))
+        old_v = list(old.get("val_mean_rrmse_pct_per_seed", []))
+        if old_t and not old_v:
+            # legacy row stored only the aggregate val mean (= mean of
+            # per-seed means, equal case counts) — spread it evenly so the
+            # merged mean is exact
+            old_v = [old.get("val_mean_rrmse_pct")] * len(old_t)
         t0 = time.perf_counter()
-        runs = [fn(seed) for seed in range(args.seeds)]
+        runs = [fn(seed) for seed in range(len(old_t), args.seeds)]
         wall = time.perf_counter() - t0
-        t_means = [mean(t) for t, _ in runs]
+        t_means = old_t + [mean(t) for t, _ in runs]
+        v_means = old_v + [mean(v) for _, v in runs]
         result[name] = {
             "test_mean_rrmse_pct": mean(t_means),
             "test_mean_rrmse_pct_per_seed": t_means,
-            "val_mean_rrmse_pct": mean([mean(v) for _, v in runs]),
-            "per_case_test_seed0": runs[0][0],
-            "train_wall_s": round(wall, 1)}
+            "val_mean_rrmse_pct": mean(v_means),
+            "val_mean_rrmse_pct_per_seed": v_means,
+            "per_case_test_seed0": old.get("per_case_test_seed0",
+                                           runs[0][0] if runs else None),
+            "train_wall_s": round(old.get("train_wall_s", 0.0) + wall, 1)}
         summary[name] = round(mean(t_means), 3)
         log(f"{name}: TEST_MEAN per seed "
             f"{['%.2f' % m for m in t_means]} (wall {wall:.0f}s)")
